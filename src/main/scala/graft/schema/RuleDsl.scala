@@ -1,0 +1,60 @@
+package graft.schema
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.types.DataType
+
+/** Declarative Cerberus-style schema DSL.
+  *
+  * Rule vocabulary (closed set, cf. the reference's closed error enum at
+  * reference rust/src/lib.rs:28-46): `required`, `nullable`, `empty`,
+  * `type`, `regex`, `allowed`, `min`, `max`, `minlength`, `maxlength`,
+  * `dependencies`, plus named custom checks (e.g. `check_sha256`).
+  *
+  * Semantics, pinned by `graft.ValidatorSpec`:
+  *   - Normalization runs BEFORE every rule (coercion-first, cf. reference
+  *     app/.../TotpUtil.kt:26 which uppercases+strips before the Base32
+  *     regex). All rules see the normalized value; violation rows report
+  *     the normalized value.
+  *   - A null value fails `required` (if required) or `nullable` (if
+  *     nullable=false); no other rule fires on null.
+  *   - A non-null value is checked against EVERY applicable rule — all
+  *     failures are reported, not just the first (cf. reference
+  *     app/.../HomeScreen.kt:785-789 which accumulates all field errors
+  *     in one pass).
+  *   - `dependencies`: the field (when non-null) is only valid if each
+  *     dependency field is non-null and, when an allowed-value list is
+  *     given, its value is in that list.
+  */
+final case class FieldSpec(
+    dtype: Option[DataType] = None,
+    required: Boolean = false,
+    nullable: Boolean = true,
+    notEmpty: Boolean = false,
+    regex: Option[String] = None,
+    allowed: Option[Seq[String]] = None,
+    min: Option[Double] = None,
+    max: Option[Double] = None,
+    minLength: Option[Int] = None,
+    maxLength: Option[Int] = None,
+    dependencies: Map[String, Seq[String]] = Map.empty,
+    normalize: Option[Column => Column] = None,
+    checks: Seq[CustomCheck] = Nil
+)
+
+/** A named custom per-row invariant; `pass` maps the (normalized) field
+  * column to a boolean Column. Example: sha256(content) equality
+  * (semantics grounding: hash-then-compare at reference
+  * rust/src/lib.rs:161-172).
+  */
+final case class CustomCheck(rule: String, pass: Column => Column)
+
+/** A schema is an ordered mapping field → spec. Order determines the
+  * order of violation-struct slots (deterministic output).
+  */
+final case class Schema(fields: Seq[(String, FieldSpec)]) {
+  def fieldNames: Seq[String] = fields.map(_._1)
+}
+
+object Schema {
+  def of(fields: (String, FieldSpec)*): Schema = new Schema(fields.toSeq)
+}

@@ -1,0 +1,141 @@
+package graft
+
+import graft.schema.{CustomCheck, FieldSpec, Schema}
+import graft.validate.Validator
+import graft.verdict.Verdict
+import org.apache.spark.sql.functions._
+
+/** Rule-semantics suite — the `test_validator`/`test_errors` parity the
+  * north rule names. Each case pins one semantic detail from SURVEY.md
+  * §2b against expected `(field, rule, value)` rows.
+  */
+class ValidatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(String, String, String)] =
+    df.select("field", "rule", "value")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2)).orNull))
+      .toSet
+
+  test("required fires on null; nothing else fires on null") {
+    val df = Seq((1, null.asInstanceOf[String])).toDF("id", "name")
+    val schema = Schema.of("name" -> FieldSpec(
+      required = true, regex = Some("[a-z]+"), minLength = Some(3)))
+    assert(rows(Validator.violations(df, schema, Seq("id"))) ===
+      Set(("name", "required", null)))
+  }
+
+  test("nullable=false fires on null for non-required fields") {
+    val df = Seq((1, null.asInstanceOf[String])).toDF("id", "name")
+    val schema = Schema.of("name" -> FieldSpec(nullable = false))
+    assert(rows(Validator.violations(df, schema, Seq("id"))) ===
+      Set(("name", "nullable", null)))
+  }
+
+  test("all failing rules are reported, not just the first") {
+    // Reference accumulates every field error in one pass
+    // (app/.../HomeScreen.kt:785-789).
+    val df = Seq((1, "XY")).toDF("id", "name")
+    val schema = Schema.of("name" -> FieldSpec(
+      regex = Some("[a-z]+"), minLength = Some(3), allowed = Some(Seq("ok"))))
+    assert(rows(Validator.violations(df, schema, Seq("id"))) ===
+      Set(("name", "regex", "XY"), ("name", "minlength", "XY"),
+        ("name", "allowed", "XY")))
+  }
+
+  test("regex anchors the whole string (matches, not find)") {
+    // Reference uses Regex.matches (app/.../TotpUtil.kt:28).
+    val df = Seq((1, "abc!"), (2, "abc")).toDF("id", "name")
+    val schema = Schema.of("name" -> FieldSpec(regex = Some("[a-z]+")))
+    assert(rows(Validator.violations(df, schema, Seq("id"))) ===
+      Set(("name", "regex", "abc!")))
+  }
+
+  test("normalize runs before every rule and violation values are normalized") {
+    // Reference normalizes (uppercase, strip spaces) before the Base32
+    // check (app/.../TotpUtil.kt:26, rust/src/lib.rs:185).
+    val df = Seq((1, " ab 12 "), (2, "ZZ 999")).toDF("id", "secret")
+    val schema = Schema.of("secret" -> FieldSpec(
+      regex = Some("[A-Z0-9]+"),
+      minLength = Some(5),
+      normalize = Some(c => upper(regexp_replace(c, " ", "")))))
+    // " ab 12 " → "AB12": passes the regex only because normalization ran
+    // first, but fails minlength on the NORMALIZED length (4 < 5) and the
+    // violation value is the normalized one. "ZZ 999" → "ZZ999" passes all.
+    assert(rows(Validator.violations(df, schema, Seq("id"))) ===
+      Set(("secret", "minlength", "AB12")))
+  }
+
+  test("empty fires on blank strings but not on null") {
+    val df = Seq((1, "   "), (2, null.asInstanceOf[String]), (3, "x"))
+      .toDF("id", "name")
+    val schema = Schema.of("name" -> FieldSpec(notEmpty = true))
+    assert(rows(Validator.violations(df, schema, Seq("id"))) ===
+      Set(("name", "empty", "   ")))
+  }
+
+  test("min/max numeric range (TOTP digits 6..8 analog, rust/src/lib.rs:178-183)") {
+    val df = Seq((1, 5), (2, 6), (3, 8), (4, 9)).toDF("id", "digits")
+    val schema = Schema.of("digits" -> FieldSpec(min = Some(6d), max = Some(8d)))
+    assert(rows(Validator.violations(df, schema, Seq("id"))) ===
+      Set(("digits", "min", "5"), ("digits", "max", "9")))
+  }
+
+  test("allowed set (enum analog, rust/src/lib.rs:48-53)") {
+    val df = Seq((1, "SHA1"), (2, "MD5")).toDF("id", "alg")
+    val schema = Schema.of("alg" -> FieldSpec(
+      allowed = Some(Seq("SHA1", "SHA256", "SHA512"))))
+    assert(rows(Validator.violations(df, schema, Seq("id"))) ===
+      Set(("alg", "allowed", "MD5")))
+  }
+
+  test("dependencies: field valid only when dependency holds") {
+    val df = Seq(
+      (1, "s3cret", "yes"), // dep satisfied → ok
+      (2, "s3cret", "no"), // dep value outside allowed → violation
+      (3, "s3cret", null.asInstanceOf[String]), // dep null → violation
+      (4, null.asInstanceOf[String], "no") // field null → dep not checked
+    ).toDF("id", "secret", "has_otp")
+    val schema = Schema.of("secret" -> FieldSpec(
+      dependencies = Map("has_otp" -> Seq("yes"))))
+    assert(rows(Validator.violations(df, schema, Seq("id"))) ===
+      Set(("secret", "dependencies", "s3cret")))
+  }
+
+  test("type rule via cast-and-compare") {
+    val df = Seq((1, "123"), (2, "12x")).toDF("id", "num")
+    val schema = Schema.of("num" -> FieldSpec(
+      dtype = Some(org.apache.spark.sql.types.IntegerType)))
+    assert(rows(Validator.violations(df, schema, Seq("id"))) ===
+      Set(("num", "type", "12x")))
+  }
+
+  test("custom check: sha256 invariant (rust/src/lib.rs:161-172 analog)") {
+    val good = "hello"
+    val goodSha = java.security.MessageDigest
+      .getInstance("SHA-256")
+      .digest(good.getBytes("UTF-8"))
+      .map("%02x".format(_))
+      .mkString
+    val df = Seq((1, good, goodSha), (2, good, "deadbeef")).toDF("id", "content", "expected_sha")
+    val schema = Schema.of("content" -> FieldSpec(checks = Seq(
+      CustomCheck("check_sha256", v => sha2(v, 256) === col("expected_sha")))))
+    assert(rows(Validator.violations(df, schema, Seq("id"))) ===
+      Set(("content", "check_sha256", "hello")))
+  }
+
+  test("violations are data: clean/annotate split and verdict rollup") {
+    val df = Seq(
+      (1, "ok", "en"), (2, null.asInstanceOf[String], "en"), (3, "ok", "xx"))
+      .toDF("id", "name", "lang")
+    val schema = Schema.of(
+      "name" -> FieldSpec(required = true),
+      "lang" -> FieldSpec(allowed = Some(Seq("en", "de"))))
+    assert(Validator.clean(df, schema).count() === 1)
+    val v = Verdict.compute(df, schema, "lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toSet
+    assert(v === Set(("en", 2L, 1L, 1L, false), ("xx", 1L, 1L, 1L, false)))
+  }
+}
