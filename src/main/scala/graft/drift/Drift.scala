@@ -1,0 +1,126 @@
+package graft.drift
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift detection per partition (north rule: KS/PSI per
+  * `lang` against a baseline sketch).
+  *
+  * Everything is built-in bin-aggregate + join + window arithmetic — no
+  * UDAF (SURVEY.md §2g): histograms shrink the data to
+  * O(groups × nBins) rows before any join or window runs, so the only
+  * full-data pass is one map-side-combined groupBy per side.
+  */
+object Drift {
+
+  /** Fixed-width histogram of `valueCol` over [lo, hi): one row per
+    * (…groupCols, bin) with count `n`. Out-of-range values clamp into
+    * the edge bins; nulls are excluded.
+    */
+  def bins(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      nBins: Int,
+      lo: Double,
+      hi: Double
+  ): DataFrame = {
+    val width = (hi - lo) / nBins
+    val raw = floor((col(valueCol).cast("double") - lo) / width)
+    val bin = least(greatest(raw, lit(0d)), lit((nBins - 1).toDouble))
+      .cast("long")
+      .as("bin")
+    df.where(col(valueCol).isNotNull)
+      .groupBy((groupCols.map(col) :+ bin): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** PSI + KS per group between `cur` and `base` over a shared binning.
+    * Output: `(…groupCols, n_cur, n_base, psi, ks)` with
+    * PSI = Σ (p−q)·ln(p/q) (eps-floored fractions) and
+    * KS = max |CDF_cur − CDF_base| at bin boundaries. Both rounded to 6
+    * decimals (stable across aggregation orders).
+    */
+  def compare(
+      cur: DataFrame,
+      base: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      nBins: Int,
+      lo: Double,
+      hi: Double,
+      eps: Double = 1e-6
+  ): DataFrame = {
+    val c = bins(cur, valueCol, groupCols, nBins, lo, hi)
+      .withColumnRenamed("n", "n_cur")
+    val b = bins(base, valueCol, groupCols, nBins, lo, hi)
+      .withColumnRenamed("n", "n_base")
+    scoreBins(c.join(b, groupCols :+ "bin", "full_outer"), groupCols, eps)
+  }
+
+  /** Drift of each group's distribution against the GLOBAL distribution
+    * of the same frame — the per-`lang`-vs-baseline shape when no
+    * separate baseline snapshot exists. The global histogram is tiny
+    * (nBins rows) and broadcast.
+    */
+  def againstGlobal(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      nBins: Int,
+      lo: Double,
+      hi: Double,
+      eps: Double = 1e-6
+  ): DataFrame = {
+    val c = bins(df, valueCol, groupCols, nBins, lo, hi)
+      .withColumnRenamed("n", "n_cur")
+    val b = bins(df, valueCol, Nil, nBins, lo, hi)
+      .withColumnRenamed("n", "n_base")
+    // Densify to the full (group × global-bin) grid: a bin the group
+    // never hit still contributes a PSI term (p=eps, q>0) and a CDF
+    // step. Groups = those with ≥1 binned row; grid is
+    // O(groups × nBins) rows, built from already-aggregated frames.
+    val groups = c.select(groupCols.map(col): _*).distinct()
+    val grid = groups.crossJoin(broadcast(b))
+    val joined = grid
+      .join(c, groupCols :+ "bin", "left_outer")
+      .na.fill(0L, Seq("n_cur"))
+    scoreBins(joined, groupCols, eps)
+  }
+
+  /** Shared scoring over joined per-bin counts. Operates on
+    * O(groups × nBins) rows — window use here is cheap by construction.
+    */
+  private def scoreBins(
+      joined: DataFrame,
+      groupCols: Seq[String],
+      eps: Double
+  ): DataFrame = {
+    val g = groupCols.map(col)
+    val wg = Window.partitionBy(g: _*)
+    val wcum = wg
+      .orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val filled = joined.na.fill(0L, Seq("n_cur", "n_base"))
+    val p = col("n_cur") / sum(col("n_cur")).over(wg)
+    val q = col("n_base") / sum(col("n_base")).over(wg)
+    val pc = greatest(p, lit(eps))
+    val qc = greatest(q, lit(eps))
+
+    filled
+      .withColumn("p", p)
+      .withColumn("q", q)
+      .withColumn("psi_term", (pc - qc) * log(pc / qc))
+      .withColumn("cdf_p", sum(col("p")).over(wcum))
+      .withColumn("cdf_q", sum(col("q")).over(wcum))
+      .groupBy(g: _*)
+      .agg(
+        sum(col("n_cur")).as("n_cur"),
+        sum(col("n_base")).as("n_base"),
+        round(sum(col("psi_term")), 6).as("psi"),
+        round(max(abs(col("cdf_p") - col("cdf_q"))), 6).as("ks")
+      )
+  }
+}

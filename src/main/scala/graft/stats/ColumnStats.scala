@@ -1,0 +1,89 @@
+package graft.stats
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-column profiling stats, computed in a single aggregation pass
+  * (north rule: count, null-rate, distinct via HyperLogLog++, min/max,
+  * length histograms).
+  *
+  * Scale notes:
+  *   - One `groupBy(partition).agg(...)` evaluates every column's stats
+  *     in one scan — Catalyst runs partial (map-side) aggregation, so
+  *     shuffle volume is O(groups × columns), independent of row count.
+  *   - Distinct counts default to `approx_count_distinct` (built-in
+  *     HLL++, fixed-size sketch buffers — spill-safe at any scale);
+  *     `exact = true` switches to `countDistinct` for oracle parity at
+  *     test scale (expand-based, one extra shuffle — fine at sf0.01,
+  *     not the 100 TB path).
+  */
+object ColumnStats {
+
+  /** Long-format stats: one output row per (group, column) with
+    * `(…groupCols, column, n_rows, n_null, null_rate, n_distinct,
+    * min, max, avg_len)`. min/max are stringified so heterogeneous
+    * column types share one output schema.
+    */
+  def compute(
+      df: DataFrame,
+      cols: Seq[String],
+      groupCols: Seq[String] = Nil,
+      exact: Boolean = false,
+      rsd: Double = 0.05
+  ): DataFrame = {
+    def distinctAgg(c: Column): Column =
+      if (exact) countDistinct(c) else approx_count_distinct(c, rsd)
+
+    val aggs: Seq[Column] = cols.flatMap { name =>
+      val c = col(name)
+      Seq(
+        count(lit(1)).as(s"__${name}__n_rows"),
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"__${name}__n_null"),
+        distinctAgg(c).as(s"__${name}__n_distinct"),
+        min(c).cast("string").as(s"__${name}__min"),
+        max(c).cast("string").as(s"__${name}__max"),
+        avg(length(c.cast("string"))).as(s"__${name}__avg_len")
+      )
+    }
+
+    val wide =
+      if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+
+    // Wide → long: one struct per column, exploded. Cheap: operates on
+    // the already-aggregated (tiny) frame.
+    val structs = cols.map { name =>
+      struct(
+        lit(name).as("column"),
+        col(s"__${name}__n_rows").as("n_rows"),
+        col(s"__${name}__n_null").as("n_null"),
+        (col(s"__${name}__n_null") / col(s"__${name}__n_rows"))
+          .as("null_rate"),
+        col(s"__${name}__n_distinct").as("n_distinct"),
+        col(s"__${name}__min").as("min"),
+        col(s"__${name}__max").as("max"),
+        col(s"__${name}__avg_len").as("avg_len")
+      )
+    }
+    val g = groupCols.map(col)
+    wide
+      .select(g :+ explode(array(structs: _*)).as("s"): _*)
+      .select(g :+ col("s.*"): _*)
+  }
+
+  /** Value-length histogram per group: `(…groupCols, bin, n)` where
+    * `bin = floor(length(col)/binWidth)`. Shared by drift detection.
+    * Nulls are excluded (they're the null-rate stat's job).
+    */
+  def lengthHistogram(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      binWidth: Int
+  ): DataFrame = {
+    val bin = floor(length(col(valueCol)) / binWidth).cast("long").as("bin")
+    df.where(col(valueCol).isNotNull)
+      .groupBy((groupCols.map(col) :+ bin): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.data.SynthGen
+import graft.drift.Drift
+import org.apache.spark.sql.functions._
+
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("identical distributions → psi ≈ 0 and ks ≈ 0") {
+    val df = spark.range(0, 2000).select(
+      lit("g").as("g"), pmod(col("id"), lit(100)).cast("double").as("v"))
+    val out = Drift.compare(df, df, "v", Seq("g"), 10, 0d, 100d).first()
+    assert(math.abs(out.getAs[Double]("psi")) < 1e-9)
+    assert(math.abs(out.getAs[Double]("ks")) < 1e-9)
+  }
+
+  test("shifted distribution → large psi/ks; unshifted → small") {
+    val base = spark.range(0, 4000).select(
+      when(pmod(col("id"), lit(2)) === 0, lit("stable")).otherwise(lit("shifted")).as("g"),
+      pmod(col("id"), lit(100)).cast("double").as("v"))
+    val cur = base.withColumn("v",
+      when(col("g") === "shifted", col("v") + 50d).otherwise(col("v")))
+    val out = Drift.compare(cur, base, "v", Seq("g"), 10, 0d, 150d)
+      .collect().map(r => r.getString(0) -> (r.getAs[Double]("psi"), r.getAs[Double]("ks"))).toMap
+    assert(out("stable")._1 < 0.01 && out("stable")._2 < 0.01)
+    assert(out("shifted")._1 > 0.5 && out("shifted")._2 > 0.3)
+  }
+
+  test("out-of-range values clamp to edge bins; nulls excluded") {
+    val df = Seq(("g", Some(-5d)), ("g", Some(500d)), ("g", None))
+      .toDF("g", "v")
+    val b = Drift.bins(df, "v", Seq("g"), 10, 0d, 100d)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(b === Set((0L, 1L), (9L, 1L)))
+  }
+
+  test("synthetic python content drifts vs global (injected wider length dist)") {
+    val files = SynthGen.codeFiles(spark, SynthGen.Config(rows = 20000L))
+      .where(col("content").isNotNull && col("lang").isin(SynthGen.langs: _*))
+      .withColumn("len", length(col("content")))
+    val out = Drift.againstGlobal(files, "len", Seq("lang"), 20, 0d, 800d)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("psi")).toMap
+    val others = SynthGen.langs.filterNot(_ == "python").map(out)
+    assert(out("python") > others.max * 1.5,
+      s"python psi ${out("python")} should dominate $others")
+  }
+
+  test("againstGlobal densifies missing (group, bin) combos") {
+    // group "b" never hits bin 1 but the global does → PSI must include
+    // the (p=eps, q>0) term rather than dropping the bin.
+    val df = Seq(("a", 5d), ("a", 15d), ("b", 5d)).toDF("g", "v")
+    val out = Drift.againstGlobal(df, "v", Seq("g"), 2, 0d, 20d)
+      .where(col("g") === "b").first()
+    assert(out.getAs[Double]("psi") > 1.0) // missing a third of global mass
+    assert(out.getAs[Double]("ks") > 0.3)
+  }
+}

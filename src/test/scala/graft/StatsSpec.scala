@@ -1,0 +1,46 @@
+package graft
+
+import graft.stats.ColumnStats
+import org.apache.spark.sql.functions._
+
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("single-pass stats: counts, nulls, distinct, min/max") {
+    val df = Seq(
+      ("a", Some(1)), ("a", Some(3)), ("a", None), ("b", Some(2)))
+      .toDF("g", "x")
+    val out = ColumnStats
+      .compute(df, Seq("x"), groupCols = Seq("g"), exact = true)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(5),
+        r.getString(6), r.getString(7)))
+      .toSet
+    assert(out === Set(
+      ("a", 3L, 1L, 2L, "1", "3"),
+      ("b", 1L, 0L, 1L, "2", "2")))
+  }
+
+  test("ungrouped stats return one row per column") {
+    val df = Seq(("x", 1), ("y", 2)).toDF("s", "i")
+    val out = ColumnStats.compute(df, Seq("s", "i"), exact = true)
+    assert(out.count() === 2)
+    assert(out.columns.toSeq === Seq("column", "n_rows", "n_null",
+      "null_rate", "n_distinct", "min", "max", "avg_len"))
+  }
+
+  test("HLL distinct within rsd of exact on driver documents") {
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    val approx = ColumnStats.compute(docs, Seq("text"), exact = false, rsd = 0.05)
+      .select("n_distinct").first().getLong(0).toDouble
+    val exact = docs.select(countDistinct(col("text"))).first().getLong(0).toDouble
+    assert(math.abs(approx - exact) / exact < 0.10)
+  }
+
+  test("length histogram bins by floor(length/width)") {
+    val df = Seq(("g", "aa"), ("g", "aaa"), ("g", "aaaaaa")).toDF("g", "s")
+    val out = ColumnStats.lengthHistogram(df, "s", Seq("g"), 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set((0L, 1L), (1L, 1L), (2L, 1L)))
+  }
+}
