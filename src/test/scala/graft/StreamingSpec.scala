@@ -1,0 +1,71 @@
+package graft
+
+import graft.schema.{FieldSpec, Schema}
+import graft.streaming.StreamingValidator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+
+class StreamingSpec extends SparkSpec {
+
+  private val evSchema = Schema.of(
+    "event_type" -> FieldSpec(
+      required = true,
+      allowed = Some(Seq("click", "view", "purchase", "signup"))),
+    "value" -> FieldSpec(min = Some(0d), max = Some(400d)))
+
+  test("streaming validation matches the batch path on the same data") {
+    val src = Files.createTempDirectory("graft-stream-src").toString
+    val batch = spark.read.parquet(sf("sf0.001") + "/events.parquet")
+    batch.write.mode("overwrite").parquet(src)
+
+    val stream = spark.readStream.schema(batch.schema).parquet(src)
+    val out = StreamingValidator
+      .violations(stream, evSchema, Seq("event_id"))
+      .writeStream
+      .format("memory")
+      .queryName("violations_stream")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    out.awaitTermination(60000)
+
+    val streamed = spark.table("violations_stream")
+    val direct = graft.validate.Validator.violations(batch, evSchema, Seq("event_id"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(direct).isEmpty && direct.exceptAll(streamed).isEmpty)
+  }
+
+  test("windowed verdicts roll up violation counts per tumbling window") {
+    val src = Files.createTempDirectory("graft-stream-src2").toString
+    val batch = spark.read.parquet(sf("sf0.001") + "/events.parquet")
+    batch.write.mode("overwrite").parquet(src)
+
+    val stream = spark.readStream.schema(batch.schema).parquet(src)
+    val q = StreamingValidator
+      .windowedVerdicts(stream, evSchema, "ts", "event_type",
+        windowLength = "1 hour", watermarkDelay = "1 minute")
+      .writeStream
+      .format("memory")
+      .queryName("verdict_stream")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+
+    val got = spark.table("verdict_stream")
+    // Append mode emits only watermark-closed windows: windows ending
+    // after (max event time − delay) are withheld when the stream ends.
+    val maxTs = batch.agg(max(col("ts").cast("timestamp"))).first().getTimestamp(0)
+    val watermark = new java.sql.Timestamp(maxTs.getTime - 60000L)
+    val batchRollup = graft.validate.Validator
+      .annotate(batch, evSchema)
+      .groupBy(window(col("ts").cast("timestamp"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_violations").cast("long")).as("n_violations"),
+        (sum(col("n_violations").cast("long")) === 0L).as("pass"))
+      .where(col("window.end") <= lit(watermark))
+    assert(got.count() === batchRollup.count())
+    assert(got.exceptAll(batchRollup).isEmpty)
+  }
+}
