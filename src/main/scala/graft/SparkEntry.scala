@@ -1,10 +1,14 @@
 package graft
 
 import graft.data.SynthGen
+import graft.dedup.Dedup
 import graft.drift.Drift
+import graft.multimodal.Multimodal
 import graft.refint.RefIntegrity
 import graft.schema.{FieldSpec, Schema}
+import graft.sim.Similarity
 import graft.stats.ColumnStats
+import graft.text.TextAnalysis
 import graft.unique.Uniqueness
 import graft.validate.Validator
 import graft.verdict.Verdict
@@ -134,7 +138,72 @@ object SparkEntry {
         ev.where(pmod(col("event_id"), lit(2)) === 0),
         ev.where(pmod(col("event_id"), lit(2)) === 1),
         "value", Seq("event_type"), nBins = 25, lo = 0d, hi = 500d)
-    })
+    }),
+
+    // --- training-data pipeline: text analysis -------------------------
+    "q_tokens_documents" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens_ws"),
+        TextAnalysis.tokenCountBpe(col("text")).cast("long").as("n_tokens_bpe"))),
+    "q_langid_documents" -> ((s, dir) =>
+      TextAnalysis.langId(docs(s, dir), "text")
+        .select(col("doc_id"), col("s_en").cast("long"), col("s_de").cast("long"),
+          col("s_es").cast("long"), col("s_fr").cast("long"), col("lang_pred"))),
+    "q_quality_documents" -> ((s, dir) =>
+      TextAnalysis.qualityFeatures(docs(s, dir), "text")
+        .select(col("doc_id"), col("n_chars_txt").cast("long"),
+          col("n_tokens").cast("long"),
+          round(col("alpha_ratio"), 6).as("alpha_ratio"),
+          round(col("punct_ratio"), 6).as("punct_ratio"),
+          round(col("stop_ratio"), 6).as("stop_ratio"),
+          round(col("quality"), 6).as("quality"))),
+    "q_fingerprint_documents" -> ((s, dir) =>
+      TextAnalysis.fingerprint(docs(s, dir), "text")
+        .select(col("doc_id"), col("content_sha"), col("fp64"))),
+
+    // --- training-data pipeline: deduplication -------------------------
+    "q_dedup_exact_documents" -> ((s, dir) =>
+      Dedup.exactSummary(docs(s, dir), "text")),
+    "q_jaccard_pairs_documents" -> ((s, dir) =>
+      Dedup.jaccardPairs(docs(s, dir), "doc_id", "text",
+          n = 3, maxDf = 50, minJaccard = 0.5)
+        .select(col("id_a"), col("id_b"), col("n_common"),
+          col("size_a"), col("size_b"), round(col("jaccard"), 6).as("jaccard"))),
+    "q_minhash_documents" -> ((s, dir) =>
+      // MinHash signatures (xxhash64-based — not DuckDB-expressible;
+      // rows-only check; semantics pinned in DedupSpec).
+      Dedup.minHashSignatures(docs(s, dir), "doc_id", "text", k = 64, shingleN = 8)),
+    "q_neardup_minhash_documents" -> ((s, dir) =>
+      Dedup.minHashNearDuplicates(docs(s, dir), "doc_id", "text",
+        k = 64, bands = 16, shingleN = 8, minEstJaccard = 0.5)),
+    "q_simhash_documents" -> ((s, dir) =>
+      Dedup.simHash(docs(s, dir), "doc_id", "text")),
+
+    // --- training-data pipeline: embedding similarity ------------------
+    "q_ann_topk_embeddings" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+        .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos_sim"),
+          col("rank").cast("long").as("rank"))
+    }),
+    "q_ann_lsh_embeddings" -> ((s, dir) => {
+      // LSH-bucketed ANN (deterministic hyperplanes; rows-only check;
+      // recall vs brute force pinned in SimilaritySpec).
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.annTopK(emb, emb.where(col("vec_id") < 10), "vec_id",
+        "embedding", dim = 64, k = 5, nPlanes = 4, nTables = 16)
+    }),
+    "q_neardup_embeddings" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.nearDupPairsExact(emb, "vec_id", "embedding", minCosine = 0.35)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
+    }),
+
+    // --- training-data pipeline: multimodal plumbing (stub decode) -----
+    "q_multimodal_meta" -> ((s, _) =>
+      Multimodal.metaSummary(Multimodal.synthMedia(s, 1000L)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -243,6 +312,116 @@ object SparkEntry {
         | CAST(sum(n_base) AS BIGINT) AS n_base,
         | round(sum(psi_term), 6) AS psi,
         | round(max(abs(cdf_p - cdf_q)), 6) AS ks
-        |FROM t GROUP BY event_type""".stripMargin
+        |FROM t GROUP BY event_type""".stripMargin,
+
+    // --- text analysis -------------------------------------------------
+    "q_tokens_documents" ->
+      """SELECT doc_id,
+        | CAST(CASE WHEN text IS NULL THEN NULL
+        |  WHEN length(trim(text)) = 0 THEN 0
+        |  ELSE len(regexp_extract_all(trim(text), '\S+')) END AS BIGINT) AS n_tokens_ws,
+        | CAST(CASE WHEN text IS NULL THEN NULL
+        |  ELSE len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) END AS BIGINT) AS n_tokens_bpe
+        |FROM documents""".stripMargin,
+    "q_langid_documents" ->
+      """WITH s AS (
+        | SELECT doc_id, text,
+        |  len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for|it|with|a)\b')) AS s_en,
+        |  len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht|ein|mit|von|zu)\b')) AS s_de,
+        |  len(regexp_extract_all(lower(text), '\b(el|la|los|que|y|en|un|por|con|se)\b')) AS s_es,
+        |  len(regexp_extract_all(lower(text), '\b(le|la|les|et|des|en|un|du|est|que)\b')) AS s_fr,
+        |  len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS cjk
+        | FROM documents)
+        |SELECT doc_id, CAST(s_en AS BIGINT) AS s_en, CAST(s_de AS BIGINT) AS s_de,
+        | CAST(s_es AS BIGINT) AS s_es, CAST(s_fr AS BIGINT) AS s_fr,
+        | CASE WHEN text IS NULL THEN NULL
+        |  WHEN cjk > 0 THEN 'zh'
+        |  WHEN s_en = 0 AND s_de = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+        |  WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |  WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |  WHEN s_es >= s_fr THEN 'es'
+        |  ELSE 'fr' END AS lang_pred
+        |FROM s""".stripMargin,
+    "q_quality_documents" ->
+      """WITH f AS (
+        | SELECT doc_id,
+        |  length(text) AS n_chars_txt,
+        |  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+        |  length(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g')) AS n_punct,
+        |  CASE WHEN text IS NULL THEN NULL
+        |   WHEN length(trim(text)) = 0 THEN 0
+        |   ELSE len(regexp_extract_all(trim(text), '\S+')) END AS n_tokens,
+        |  len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for|it|with|a)\b')) AS n_stop
+        | FROM documents),
+        |r AS (
+        | SELECT doc_id, n_chars_txt, n_tokens,
+        |  CASE WHEN n_chars_txt > 0 THEN n_alpha / CAST(n_chars_txt AS DOUBLE) ELSE 0 END AS alpha_ratio,
+        |  CASE WHEN n_chars_txt > 0 THEN n_punct / CAST(n_chars_txt AS DOUBLE) ELSE 0 END AS punct_ratio,
+        |  CASE WHEN n_tokens > 0 THEN n_stop / CAST(n_tokens AS DOUBLE) ELSE 0 END AS stop_ratio
+        | FROM f)
+        |SELECT doc_id, CAST(n_chars_txt AS BIGINT) AS n_chars_txt,
+        | CAST(n_tokens AS BIGINT) AS n_tokens,
+        | round(alpha_ratio, 6) AS alpha_ratio,
+        | round(punct_ratio, 6) AS punct_ratio,
+        | round(stop_ratio, 6) AS stop_ratio,
+        | round(0.4 * alpha_ratio + 0.3 * least(1.0, stop_ratio * 4)
+        |       + 0.3 * least(1.0, n_tokens / 50.0), 6) AS quality
+        |FROM r""".stripMargin,
+    "q_fingerprint_documents" ->
+      """SELECT doc_id,
+        | sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_sha,
+        | substring(sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16) AS fp64
+        |FROM documents""".stripMargin,
+
+    // --- deduplication -------------------------------------------------
+    "q_dedup_exact_documents" ->
+      """SELECT CAST(sum(n) AS BIGINT) AS n_rows, count(*) AS n_distinct,
+        | CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT) AS n_dup_rows
+        |FROM (SELECT sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h,
+        |       count(*) AS n
+        |      FROM documents WHERE text IS NOT NULL GROUP BY 1)""".stripMargin,
+    "q_jaccard_pairs_documents" ->
+      """WITH d AS (
+        | SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        | FROM documents WHERE text IS NOT NULL),
+        |w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM d),
+        |g AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, len(ws) - 1),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gs
+        | FROM w WHERE len(ws) >= 3),
+        |s0 AS (SELECT doc_id, unnest(gs) AS sh FROM g),
+        |s AS (SELECT doc_id, sh FROM (
+        |  SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS dfc FROM s0)
+        | WHERE dfc <= 50),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY 1),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+        | CAST(sa.sz AS BIGINT) AS size_a, CAST(sb.sz AS BIGINT) AS size_b,
+        | round(n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE), 6) AS jaccard
+        |FROM p JOIN sz sa ON sa.doc_id = p.id_a JOIN sz sb ON sb.doc_id = p.id_b
+        |WHERE n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.5""".stripMargin,
+
+    // --- embedding similarity ------------------------------------------
+    "q_ann_topk_embeddings" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 10),
+        |s AS (SELECT q.q_id, e.vec_id,
+        |  list_dot_product(q.q_vec, e.v) /
+        |   (sqrt(list_dot_product(q.q_vec, q.q_vec)) * sqrt(list_dot_product(e.v, e.v))) AS c
+        | FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+        |r AS (SELECT q_id, vec_id, c,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id ASC) AS rank
+        | FROM s)
+        |SELECT q_id, vec_id, round(c, 6) AS cos_sim, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 5""".stripMargin,
+    "q_neardup_embeddings" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_dot_product(a.v, b.v) /
+        |   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS c
+        | FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(c, 6) AS cos_sim FROM p WHERE c >= 0.35""".stripMargin
   )
 }

@@ -1,0 +1,326 @@
+package graft.dedup
+
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for training-data pipelines, four tiers:
+  *
+  *   1. [[exactSummary]] / [[exactDedup]] — exact dedup by content hash
+  *      (single hash-aggregate; map-side partial combine, no window).
+  *   2. [[jaccardPairs]] — exact n-gram Jaccard on candidate pairs found
+  *      via an inverted shingle index (explode → self-join on shingle).
+  *   3. [[minHashSignatures]] / [[minHashNearDuplicates]] — MinHash +
+  *      banded LSH: shingle → k min-hashes → b bands → bucket join.
+  *   4. [[simHash]] / [[simHashNearDuplicates]] — 64-bit SimHash with
+  *      pigeonhole chunk-join candidate generation + Hamming filter.
+  *
+  * Scale design (100 TB):
+  *   - Exact dedup is one shuffle on a 32-byte hash — the optimizer's
+  *     partial aggregation bounds reducer input by distinct-count.
+  *   - The shingle inverted index drops "stop shingles" whose document
+  *     frequency exceeds `maxDf` BEFORE the self-join: the join cost is
+  *     Σ df² per shingle, so unbounded-df shingles are the only way the
+  *     plan can blow up. Same trick caps LSH bucket sizes (`maxBucket`).
+  *   - MinHash k signatures are computed as k independent min-aggregates
+  *     over one exploded shingle stream — one shuffle keyed by doc id,
+  *     constant-size state per key (k longs), no driver involvement.
+  *   - SimHash needs no pairwise work to build: 64 conditional sums in a
+  *     single aggregate; candidate pairs come from equality joins on
+  *     16-bit chunks (pigeonhole: Hamming ≤ 3 ⇒ ≥ 1 of 4 chunks equal).
+  *
+  * Semantics grounding: hash-then-compare equality at reference
+  * rust/src/lib.rs:161-172; report-every-duplicate (not first-found)
+  * mirrors the all-errors accumulation at app/.../HomeScreen.kt:785-789.
+  */
+object Dedup {
+
+  // -------------------------------------------------------------------
+  // 1. Exact dedup (hash groupBy)
+  // -------------------------------------------------------------------
+
+  private def contentHash(textCol: String): Column =
+    sha2(TextAnalysis.normalizeText(col(textCol)), 256)
+
+  /** One row per duplicated content hash: (content_sha, n_rows, keep_id). */
+  def exactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.where(col(textCol).isNotNull)
+      .groupBy(contentHash(textCol).as("content_sha"))
+      .agg(count(lit(1)).as("n_rows"), min(col(idCol)).as("keep_id"))
+      .where(col("n_rows") > 1)
+
+  /** One-row dataset summary: (n_rows, n_distinct, n_dup_rows). */
+  def exactSummary(df: DataFrame, textCol: String): DataFrame =
+    df.where(col(textCol).isNotNull)
+      .groupBy(contentHash(textCol).as("content_sha"))
+      .agg(count(lit(1)).as("__n"))
+      .agg(
+        sum(col("__n")).as("n_rows"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("__n") > 1, col("__n") - 1).otherwise(0L)).as("n_dup_rows"))
+
+  /** Keep the min-id row per distinct content (deterministic survivor). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(contentHash(textCol)).orderBy(col(idCol))
+    df.where(col(textCol).isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  // -------------------------------------------------------------------
+  // Shingling
+  // -------------------------------------------------------------------
+
+  /** Distinct word n-grams of the normalized text, as array<string>.
+    *
+    * PERFORMANCE: `c` is captured inside the transform lambda — an
+    * expression argument re-evaluates per n-gram. Pre-project the word
+    * array and use [[wordShinglesFromWords]] on hot paths (as
+    * [[jaccardPairs]] does); this wrapper is for small/one-off use.
+    */
+  def wordShingles(c: Column, n: Int): Column =
+    wordShinglesFromWords(split(TextAnalysis.normalizeText(c), " "), n)
+
+  /** [[wordShingles]] over a pre-split word array column. */
+  def wordShinglesFromWords(words: Column, n: Int): Column = {
+    val count = size(words) - (n - 1)
+    when(count >= 1,
+      array_distinct(
+        transform(sequence(lit(0), count - 1), i =>
+          concat_ws(" ", slice(words, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Inverted index (id, shingle) with stop-shingles (df > maxDf)
+    * removed — the scan-cost cap for every pairwise candidate join.
+    */
+  private def shingleIndex(
+      df: DataFrame, idCol: String, textCol: String, n: Int, maxDf: Int): DataFrame = {
+    val idx = df
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        split(TextAnalysis.normalizeText(col(textCol)), " ").as("__words"))
+      .select(col("id"), explode(wordShinglesFromWords(col("__words"), n)).as("shingle"))
+    val dfW = Window.partitionBy(col("shingle"))
+    idx.withColumn("__df", count(lit(1)).over(dfW))
+      .where(col("__df") <= maxDf)
+      .drop("__df")
+  }
+
+  // -------------------------------------------------------------------
+  // 2. Exact n-gram Jaccard
+  // -------------------------------------------------------------------
+
+  /** Pairs (id_a < id_b) with Jaccard similarity of their (df-filtered)
+    * word-n-gram sets ≥ `minJaccard`. Output: (id_a, id_b, n_common,
+    * size_a, size_b, jaccard).
+    *
+    * The Jaccard is computed over the SAME df-filtered shingle sets used
+    * for candidate generation, so the result is exactly reproducible by
+    * the SQL oracle (no hidden sampling).
+    */
+  def jaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      maxDf: Int = 100,
+      minJaccard: Double = 0.5): DataFrame = {
+    val idx = shingleIndex(df, idCol, textCol, n, maxDf)
+    val sizes = idx.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val a = idx.select(col("id").as("id_a"), col("shingle"))
+    val b = idx.select(col("id").as("id_b"), col("shingle"))
+    val common = a.join(b, Seq("shingle"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "size_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "size_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("size_a") + col("size_b") - col("n_common")))
+      .where(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "n_common", "size_a", "size_b", "jaccard")
+  }
+
+  // -------------------------------------------------------------------
+  // 3. MinHash + banded LSH
+  // -------------------------------------------------------------------
+
+  /** MinHash signatures: (id, sig array<bigint> of length k) from
+    * character-`shingleN`-gram rolling hashes. One exploded stream, one
+    * aggregate with k min() columns — Catalyst fuses them into a single
+    * shuffle with fixed-size per-key state.
+    */
+  def minHashSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 64,
+      shingleN: Int = 8): DataFrame = {
+    val exploded = df
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        TextAnalysis.normalizeText(col(textCol)).as("__norm"))
+      .select(col("id"),
+        explode(TextAnalysis.shingleHashesNormalized(col("__norm"), shingleN)).as("h"))
+    // k independent hash families: h_i = xxhash64(shingle_hash, i).
+    val minCols = (0 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+    exploded
+      .groupBy(col("id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** Candidate pairs from banded LSH over signatures: split the k-long
+    * signature into `bands` bands, hash each band, join docs sharing any
+    * (band, hash) bucket. Buckets larger than `maxBucket` are dropped
+    * (they arise from degenerate content and would cost df² in the join;
+    * the dropped mass is reported via the `lsh_bucket_overflow` counter
+    * column of [[lshBucketStats]]).
+    */
+  def lshCandidates(signatures: DataFrame, bands: Int, maxBucket: Int = 1000): DataFrame = {
+    val banded = bandedBuckets(signatures, bands)
+    val bw = Window.partitionBy(col("band"), col("bucket"))
+    val capped = banded
+      .withColumn("__bsz", count(lit(1)).over(bw))
+      .where(col("__bsz") <= maxBucket)
+      .drop("__bsz")
+    val a = capped.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = capped.select(col("band"), col("bucket"), col("id").as("id_b"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** (id, band, bucket) — band hash = xxhash64 over the band's slice. */
+  def bandedBuckets(signatures: DataFrame, bands: Int): DataFrame =
+    signatures
+      .select(col("id"), posexplode(bandSlices(col("sig"), bands)))
+      .select(col("id"), col("pos").as("band"), xxhash64(col("col")).as("bucket"))
+
+  /** Split an array into `bands` contiguous slices (array of arrays). */
+  private def bandSlices(sig: Column, bands: Int): Column = {
+    val bandLen = size(sig) / bands
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      slice(sig, b * bandLen + 1, bandLen))
+  }
+
+  /** Bucket-size distribution for observability (overflow accounting). */
+  def lshBucketStats(signatures: DataFrame, bands: Int, maxBucket: Int = 1000): DataFrame =
+    bandedBuckets(signatures, bands)
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        max(col("bucket_size")).as("max_bucket"),
+        sum(when(col("bucket_size") > maxBucket, col("bucket_size")).otherwise(0L))
+          .as("lsh_bucket_overflow"))
+
+  /** Near-duplicate pairs: LSH candidates verified by the signature-
+    * estimated Jaccard (fraction of equal minhash coordinates) ≥
+    * `minEstJaccard`. Output: (id_a, id_b, est_jaccard).
+    */
+  def minHashNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 64,
+      bands: Int = 16,
+      shingleN: Int = 8,
+      minEstJaccard: Double = 0.7,
+      maxBucket: Int = 1000): DataFrame = {
+    // The signature frame feeds band hashing AND both verification
+    // joins — persist it so the shingle explode + k-min aggregate runs
+    // once, not three times (at scale: checkpoint/write signatures).
+    val sigs = minHashSignatures(df, idCol, textCol, k, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = lshCandidates(sigs, bands, maxBucket)
+    cands
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("est_jaccard",
+        aggregate(
+          zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v
+        ).cast("double") / k)
+      .where(col("est_jaccard") >= minEstJaccard)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  // -------------------------------------------------------------------
+  // 4. SimHash
+  // -------------------------------------------------------------------
+
+  /** 64-bit SimHash per document from whitespace tokens, weighted by
+    * term frequency: bit j of the result is 1 iff Σ_tokens tf·(±1) > 0
+    * where the sign is bit j of xxhash64(token).
+    *
+    * Plan: explode tokens → (id, token-hash, tf) aggregate → 64
+    * conditional sums in one aggregate → bits assembled with pure
+    * integer arithmetic. Two shuffles on id, constant state.
+    */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = df
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        explode(split(TextAnalysis.normalizeText(col(textCol)), " ")).as("tok"))
+      .where(length(col("tok")) > 0)
+      .groupBy(col("id"), xxhash64(col("tok")).as("h"))
+      .agg(count(lit(1)).as("tf"))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftrightunsigned(col("h"), j).bitwiseAND(lit(1L)) === 1L, col("tf"))
+        .otherwise(-col("tf"))).as(s"b$j")
+    }
+    val assembled = (0 until 64)
+      .map { j =>
+        // bit j contributes 2^j when its sum is positive; use the
+        // signed-long bit directly (bit 63 → Long.MinValue).
+        when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+      }
+      .reduce[Column](_.bitwiseXOR(_))
+    tokens
+      .groupBy(col("id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), assembled.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit hashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Near-duplicate pairs with Hamming(simhash) ≤ maxHamming, candidates
+    * via the 4×16-bit pigeonhole chunk join (exact recall for
+    * maxHamming ≤ 3; for larger radii increase chunks).
+    */
+  def simHashNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = 10000): DataFrame = {
+    val hashes = simHash(df, idCol, textCol)
+    val chunked = hashes.select(
+      col("id"), col("simhash"),
+      posexplode(
+        transform(sequence(lit(0), lit(3)), c =>
+          call_function("shiftrightunsigned", col("simhash"), lit(16) * c)
+            .bitwiseAND(lit(0xffffL)))))
+      .select(col("id"), col("simhash"), col("pos").as("chunk"), col("col").as("cval"))
+    val bw = Window.partitionBy(col("chunk"), col("cval"))
+    val capped = chunked
+      .withColumn("__bsz", count(lit(1)).over(bw))
+      .where(col("__bsz") <= maxBucket)
+      .drop("__bsz")
+    val a = capped.select(col("chunk"), col("cval"), col("id").as("id_a"), col("simhash").as("sh_a"))
+    val b = capped.select(col("chunk"), col("cval"), col("id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("chunk", "cval"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming(col("sh_a"), col("sh_b")).as("hamming_dist"))
+      .distinct()
+      .where(col("hamming_dist") <= maxHamming)
+  }
+}

@@ -1,0 +1,196 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search: brute-force cosine top-k as the exact
+  * baseline, random-hyperplane LSH bucketing as the 100 TB scale path,
+  * and cosine near-duplicate pair mining.
+  *
+  * Scale design:
+  *   - Vectors stay `array<float>` on disk (parquet list<float>); all
+  *     math is Catalyst higher-order functions (`zip_with`/`aggregate`)
+  *     in double precision — no UDFs, no driver collect of vectors.
+  *   - Brute force is (queries × corpus) with the QUERY side broadcast:
+  *     right for "few queries, huge corpus". Per-query top-k is a
+  *     window over cosine — with k small, AQE keeps partitions balanced
+  *     because the pre-window shuffle is keyed by query id.
+  *   - LSH: `nTables` independent sets of `nPlanes` deterministic
+  *     hyperplanes (seeded, driver-computed constants — O(tables ×
+  *     planes × dim) doubles, broadcast with the plan). Candidates =
+  *     same bucket in ANY table; cost is bucket-size² bounded by
+  *     2^nPlanes spread. Exactness is traded for recall measured in
+  *     `SimilaritySpec` against the brute-force baseline.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product in double precision (deterministic
+    * summation order — reproducible against the DuckDB oracle).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; null-safe zero guard for zero vectors. */
+  def cosine(a: Column, b: Column): Column =
+    cosineWithNorms(a, b, norm(a), norm(b))
+
+  /** Cosine with caller-precomputed norms (identical arithmetic —
+    * na·nb multiplied in the same order as norm(a)·norm(b)).
+    */
+  def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column = {
+    val d = dot(a, b)
+    val n = na * nb
+    when(n === 0d, lit(0d)).otherwise(d / n)
+  }
+
+  /** Exact top-k nearest corpus vectors per query vector by cosine.
+    * Output: (q_id, vec_id, cos, rank), rank 1..k, ties broken by
+    * vec_id (deterministic). Self-matches (same id) excluded.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    // Norms are precomputed ONCE PER SIDE before the pair join — the
+    // naive per-pair cosine would fold each 64-dim array three times
+    // per pair (O(3·|Q|·|C|·d) instead of O(|Q|·|C|·d + (|Q|+|C|)·d)).
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_norm"))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"),
+      norm(col(vecCol)).as("c_norm"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineWithNorms(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1] as a
+    * pure function of (seed, table, plane, dim index) — same splitmix64
+    * finalizer used by java.util.SplittableRandom (public algorithm).
+    */
+  private def planeComponent(seed: Long, table: Int, plane: Int, d: Int): Double = {
+    var z = seed + 0x9e3779b97f4a7c15L * ((table.toLong << 40) + (plane.toLong << 20) + d + 1)
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    (z.toDouble / Long.MaxValue.toDouble)
+  }
+
+  /** Sign-bit bucket of a vector under `nPlanes` hyperplanes of one
+    * table, packed into a long.
+    */
+  private def bucketCol(vecCol: Column, dim: Int, table: Int, nPlanes: Int, seed: Long): Column =
+    (0 until nPlanes).map { p =>
+      val plane = array((0 until dim).map(d => lit(planeComponent(seed, table, p, d))): _*)
+      when(dot(vecCol, plane) > 0d, lit(1L << p)).otherwise(lit(0L))
+    }.reduce[Column](_.bitwiseXOR(_))
+
+  /** (id, table, bucket) index — `nTables` buckets per vector. */
+  def lshIndex(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      nPlanes: Int = 12,
+      nTables: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val buckets = transformTables(df, idCol, vecCol, dim, nPlanes, nTables, seed)
+    buckets
+  }
+
+  private def transformTables(
+      df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      nPlanes: Int, nTables: Int, seed: Long): DataFrame = {
+    val bucketArr = array((0 until nTables).map(t =>
+      bucketCol(col(vecCol), dim, t, nPlanes, seed)): _*)
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        posexplode(bucketArr))
+      .select(col("id"), col("vec"), col("pos").as("table"), col("col").as("bucket"))
+  }
+
+  /** Approximate top-k: candidates share a bucket with the query in any
+    * table; exact cosine + window top-k over the candidate set.
+    * Output schema matches [[bruteForceTopK]] (+ possibly fewer rows
+    * when recall < 1).
+    */
+  def annTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      nPlanes: Int = 12,
+      nTables: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val cIdx = lshIndex(corpus, idCol, vecCol, dim, nPlanes, nTables, seed)
+      .withColumn("c_norm", norm(col("vec")))
+    val qIdx = lshIndex(queries, idCol, vecCol, dim, nPlanes, nTables, seed)
+      .select(col("id").as("q_id"), col("vec").as("q_vec"),
+        norm(col("vec")).as("q_norm"), col("table"), col("bucket"))
+    val cands = cIdx.join(broadcast(qIdx), Seq("table", "bucket"))
+      .where(col("q_id") =!= col("id"))
+      .select(col("q_id"), col("q_vec"), col("q_norm"),
+        col("id").as("vec_id"), col("vec"), col("c_norm"))
+      .dropDuplicates("q_id", "vec_id")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    cands
+      .select(col("q_id"), col("vec_id"),
+        cosineWithNorms(col("q_vec"), col("vec"), col("q_norm"), col("c_norm")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** All pairs (id_a < id_b) with cosine ≥ `minCosine` — brute-force
+    * variant for modest corpora / verification.
+    */
+  def nearDupPairsExact(df: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
+      norm(col(vecCol)).as("norm_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
+      norm(col(vecCol)).as("norm_b"))
+    a.crossJoin(b)
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosineWithNorms(col("vec_a"), col("vec_b"), col("norm_a"), col("norm_b")).as("cos"))
+      .where(col("cos") >= minCosine)
+  }
+
+  /** LSH-bucketed near-duplicate pairs — the scale path: pairs only
+    * form inside buckets (2^nPlanes-way spread per table).
+    */
+  def nearDupPairsLsh(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      minCosine: Double,
+      nPlanes: Int = 10,
+      nTables: Int = 6,
+      seed: Long = 42L): DataFrame = {
+    val idx = lshIndex(df, idCol, vecCol, dim, nPlanes, nTables, seed)
+      .withColumn("nrm", norm(col("vec")))
+    val a = idx.select(col("table"), col("bucket"), col("id").as("id_a"),
+      col("vec").as("vec_a"), col("nrm").as("norm_a"))
+    val b = idx.select(col("table"), col("bucket"), col("id").as("id_b"),
+      col("vec").as("vec_b"), col("nrm").as("norm_b"))
+    a.join(b, Seq("table", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        cosineWithNorms(col("vec_a"), col("vec_b"), col("norm_a"), col("norm_b")).as("cos"))
+      .where(col("cos") >= minCosine)
+  }
+}

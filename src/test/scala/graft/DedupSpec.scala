@@ -1,0 +1,127 @@
+package graft
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toSeq.toDF("doc_id", "text")
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat sleeps on the warm mat near the door"
+
+  test("exact dedup: summary counts duplicates by normalized content") {
+    val df = docs(
+      1L -> "hello world",
+      2L -> "  Hello   WORLD ", // same after normalization
+      3L -> "something else",
+      4L -> "hello world")
+    val s = Dedup.exactSummary(df, "text").head()
+    assert(s.getAs[Long]("n_rows") === 4L)
+    assert(s.getAs[Long]("n_distinct") === 2L)
+    assert(s.getAs[Long]("n_dup_rows") === 2L)
+
+    val kept = Dedup.exactDedup(df, "doc_id", "text").select("doc_id")
+      .as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 3L)) // min-id survivor
+
+    val dups = Dedup.exactDuplicates(df, "doc_id", "text").head()
+    assert(dups.getAs[Long]("n_rows") === 3L)
+    assert(dups.getAs[Long]("keep_id") === 1L)
+  }
+
+  test("word shingles: distinct n-grams, short-text guard") {
+    val sh = docs(1L -> "a b c d", 2L -> "a b", 3L -> "x x x x x")
+      .select($"doc_id", Dedup.wordShingles($"text", 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sh(1L) === Seq("a b c", "b c d"))
+    assert(sh(2L) === Seq.empty) // shorter than n
+    assert(sh(3L) === Seq("x x x")) // distinct collapses repeats
+  }
+
+  test("jaccard pairs: identical docs score 1.0, disjoint docs absent") {
+    val df = docs(
+      1L -> base,
+      2L -> base, // exact dup → jaccard 1.0
+      3L -> base.replace("dog", "wolf"), // near dup
+      4L -> "completely different words entirely unrelated content here today")
+    val pairs = Dedup
+      .jaccardPairs(df, "doc_id", "text", n = 3, maxDf = 100, minJaccard = 0.1)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("jaccard"))
+      .toMap
+    assert(pairs((1L, 2L)) === 1.0)
+    assert(pairs((1L, 3L)) > 0.5 && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("jaccard maxDf drops stop-shingles from candidates") {
+    // 5 docs all sharing one 3-gram; maxDf=4 removes it entirely.
+    val df = docs((1L to 5L).map(i => i -> s"common shared phrase unique$i word$i tail$i"): _*)
+    val pairs =
+      Dedup.jaccardPairs(df, "doc_id", "text", n = 3, maxDf = 4, minJaccard = 0.01)
+    assert(pairs.count() === 0L)
+  }
+
+  test("minhash: signature length k; estimated jaccard tracks exact for near-dups") {
+    val df = docs(
+      1L -> base,
+      2L -> base,
+      3L -> base.replace("dog", "wolf"),
+      4L -> "entirely unrelated totally different zebra xylophone quantum")
+    val sigs = Dedup.minHashSignatures(df, "doc_id", "text", k = 64, shingleN = 8)
+    val byId = sigs.as[(Long, Seq[Long])].collect().toMap
+    assert(byId(1L).length === 64)
+    assert(byId(1L) === byId(2L)) // identical text → identical signature
+
+    val nd = Dedup
+      .minHashNearDuplicates(df, "doc_id", "text", k = 64, bands = 16,
+        shingleN = 8, minEstJaccard = 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("est_jaccard"))
+      .toMap
+    assert(nd((1L, 2L)) === 1.0)
+    assert(nd.contains((1L, 3L))) // near-dup found via LSH
+    assert(!nd.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("simhash: near-dups land within small hamming distance, unrelated far") {
+    val df = docs(
+      1L -> base,
+      2L -> base.replace("dog", "wolf"),
+      3L -> "entirely unrelated totally different zebra xylophone quantum mechanics")
+    val hashes = Dedup.simHash(df, "doc_id", "text").as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hashes(1L), hashes(2L)) <= 8)
+    assert(ham(hashes(1L), hashes(3L)) > 8)
+
+    val pairs = Dedup
+      .simHashNearDuplicates(df, "doc_id", "text", maxHamming = 8)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("simhash identical docs: hamming 0, found at maxHamming 3 via pigeonhole") {
+    val df = docs(1L -> base, 2L -> base, 3L -> (base + " extra trailing words appended here"))
+    val pairs = Dedup
+      .simHashNearDuplicates(df, "doc_id", "text", maxHamming = 3)
+      .collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Int]("hamming_dist")))
+      .toMap
+    assert(pairs((1L, 2L)) === 0)
+  }
+
+  test("lsh bucket stats report overflow accounting") {
+    val df = docs((1L to 10L).map(i => i -> base): _*) // all identical
+    val sigs = Dedup.minHashSignatures(df, "doc_id", "text", k = 64, shingleN = 8)
+    val stats = Dedup.lshBucketStats(sigs, bands = 16, maxBucket = 5).head()
+    // 10 identical docs → every band bucket has size 10 > 5 → all overflow
+    assert(stats.getAs[Long]("max_bucket") === 10L)
+    assert(stats.getAs[Long]("lsh_bucket_overflow") === 160L)
+  }
+}
