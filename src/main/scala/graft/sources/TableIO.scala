@@ -1,0 +1,78 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Thin source/sink layer for the engine's tables.
+  *
+  * The north rule names Iceberg; this sandbox ships no Iceberg jars
+  * (offline), so the layout is "Iceberg-shaped": partitioned Parquet
+  * plus the explicit snapshot manifest in [[graft.resume.Checkpoint]].
+  * All engine code reads/writes through here, so a real Iceberg catalog
+  * is a drop-in (`spark.read.format("iceberg")...`) without touching
+  * operators.
+  *
+  * JSON ingest mirrors the reference's strict-schema load semantics
+  * (serde rejects any document not matching `Vec<Account>`,
+  * rust/src/lib.rs:81-83; a parse failure yields an empty table +
+  * logged error, app/.../SecurityUtil.kt:123-131): `strict = true` =
+  * FAILFAST (reject the load), `strict = false` = PERMISSIVE with a
+  * `_corrupt_record` column (bad rows become data, not exceptions).
+  */
+object TableIO {
+
+  /** Columnar scan — the 100 TB path (vectorized reader, pushdown). */
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Schema-strict JSON read (reference S1 semantics). */
+  def readJson(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      strict: Boolean = false): DataFrame = {
+    if (strict)
+      spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+    else
+      spark.read
+        .schema(schema.add("_corrupt_record", "string"))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+  }
+
+  /** Partitioned parquet write; dynamic overwrite keeps re-runs of a
+    * partition idempotent (the checkpoint protocol relies on this).
+    */
+  def writePartitioned(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write
+      .mode(mode)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Row-oriented JSON export of a whole table as one file — the
+    * reference's snapshot-export shape (S2/S4: one serialized document;
+    * app/.../SecurityUtil.kt:114-121). `coalesce(1)` is deliberate and
+    * only sane for small exports; never use on the 100 TB path.
+    */
+  def exportJson(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode(SaveMode.Overwrite).json(path)
+
+  /** Serialize rows to a JSON-string column (F15 analog). */
+  def toJsonColumn(df: DataFrame): DataFrame =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("json"))
+
+  /** Parse a JSON-string column back to typed columns; `strict = false`
+    * nulls out bad rows (reference E4 swallow-with-default semantics),
+    * leaving `json` populated for quarantine.
+    */
+  def fromJsonColumn(df: DataFrame, jsonCol: String, schema: StructType): DataFrame =
+    df.withColumn("parsed", from_json(col(jsonCol), schema))
+      .select(col(jsonCol), col("parsed.*"))
+}

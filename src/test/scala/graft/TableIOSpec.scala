@@ -1,0 +1,51 @@
+package graft
+
+import graft.sources.TableIO
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructType, LongType, StringType}
+import java.nio.file.Files
+
+class TableIOSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = new StructType()
+    .add("id", LongType).add("name", StringType)
+
+  test("strict JSON load rejects malformed documents; permissive quarantines them") {
+    val dir = Files.createTempDirectory("graft-json").toFile
+    val f = new java.io.File(dir, "data.json")
+    Files.writeString(f.toPath,
+      """{"id": 1, "name": "ok"}
+        |{"id": "not-a-number", "name": "bad"}
+        |{"id": 3, "name": "ok2"}
+        |""".stripMargin)
+
+    val permissive = TableIO.readJson(spark, f.getPath, schema, strict = false)
+    val rows = permissive.collect()
+    assert(rows.length === 3)
+    val corrupt = permissive.where($"_corrupt_record".isNotNull).collect()
+    assert(corrupt.length === 1)
+    assert(corrupt.head.getAs[Any]("id") === null) // bad row nulled, not thrown
+
+    val strictDf = TableIO.readJson(spark, f.getPath, schema, strict = true)
+    intercept[org.apache.spark.SparkException] { strictDf.collect() }
+  }
+
+  test("json column round-trip preserves values") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    val back = TableIO.fromJsonColumn(TableIO.toJsonColumn(df), "json", schema)
+      .select($"id", $"name").as[(Long, String)].collect().toSet
+    assert(back === Set((1L, "a"), (2L, "b")))
+  }
+
+  test("partitioned write + dynamic overwrite is idempotent per partition") {
+    val out = Files.createTempDirectory("graft-part").toString + "/t"
+    val df = Seq((1L, "en"), (2L, "de"), (3L, "en")).toDF("id", "lang")
+    TableIO.writePartitioned(df, out, Seq("lang"))
+    // Re-write ONLY the 'en' partition with new content.
+    TableIO.writePartitioned(
+      Seq((9L, "en")).toDF("id", "lang"), out, Seq("lang"))
+    val back = spark.read.parquet(out).as[(Long, String)].collect().toSet
+    assert(back === Set((9L, "en"), (2L, "de"))) // de untouched, en replaced
+  }
+}
