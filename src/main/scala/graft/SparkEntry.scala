@@ -123,6 +123,13 @@ object SparkEntry {
       Uniqueness.duplicates(
         s.read.parquet(s"$dir/events.parquet"),
         Seq("user_id", "event_type"))),
+    "q_salted_counts_lineitem" -> ((s, dir) =>
+      // Two-phase salted aggregation (skew path) — must equal a plain
+      // groupBy exactly; the oracle IS the plain groupBy.
+      Uniqueness.groupCountsSalted(
+        s.read.parquet(s"$dir/lineitem.parquet"), "l_suppkey", nSalts = 32)),
+    "q_lenhist_documents" -> ((s, dir) =>
+      ColumnStats.lengthHistogram(docs(s, dir), "text", Seq("lang"), binWidth = 50)),
     "q_ri_orders_customer" -> ((s, dir) =>
       RefIntegrity.summary(
         s.read.parquet(s"$dir/orders.parquet"),
@@ -240,6 +247,12 @@ object SparkEntry {
       """SELECT * FROM (
         | SELECT *, count(*) OVER (PARTITION BY user_id, event_type) AS dup_count
         | FROM events) WHERE dup_count > 1""".stripMargin,
+    "q_salted_counts_lineitem" ->
+      "SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY 1",
+    "q_lenhist_documents" ->
+      """SELECT lang, CAST(floor(length(text) / 50) AS BIGINT) AS bin,
+        | count(*) AS n
+        |FROM documents WHERE text IS NOT NULL GROUP BY 1, 2""".stripMargin,
     "q_ri_orders_customer" ->
       """SELECT (SELECT count(*) FROM orders) AS n_rows,
         | (SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS n_null_keys,

@@ -151,11 +151,31 @@ object Dedup {
   // -------------------------------------------------------------------
 
   /** MinHash signatures: (id, sig array<bigint> of length k) from
-    * character-`shingleN`-gram rolling hashes. One exploded stream, one
-    * aggregate with k min() columns — Catalyst fuses them into a single
-    * shuffle with fixed-size per-key state.
+    * character-`shingleN`-gram rolling hashes — computed by the native
+    * [[graft.functions.MinHashSig]] Catalyst expression: the whole
+    * signature is built inside ONE projection (zero shuffle, zero row
+    * amplification; the composed alternative below explodes
+    * |doc|·shingles rows through a k-min aggregate).
     */
   def minHashSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 64,
+      shingleN: Int = 8): DataFrame =
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        graft.functions.HashExprs
+          .minhashSig(TextAnalysis.normalizeText(col(textCol)), shingleN, k)
+          .as("sig"))
+      .where(size(col("sig")) > 0) // docs shorter than one shingle
+
+  /** Reference implementation of [[minHashSignatures]] composed from
+    * built-ins (explode → k min-aggregates). Bit-identical output —
+    * pinned by HashExprsSpec; kept as the cross-check oracle for the
+    * native expression.
+    */
+  def minHashSignaturesAgg(
       df: DataFrame,
       idCol: String,
       textCol: String,
@@ -258,13 +278,23 @@ object Dedup {
 
   /** 64-bit SimHash per document from whitespace tokens, weighted by
     * term frequency: bit j of the result is 1 iff Σ_tokens tf·(±1) > 0
-    * where the sign is bit j of xxhash64(token).
-    *
-    * Plan: explode tokens → (id, token-hash, tf) aggregate → 64
-    * conditional sums in one aggregate → bits assembled with pure
-    * integer arithmetic. Two shuffles on id, constant state.
+    * where the sign is bit j of xxhash64(token) — computed by the
+    * native [[graft.functions.SimHash64]] expression in one projection
+    * (zero shuffle; the composed alternative below is two shuffles).
     */
-  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        graft.functions.HashExprs
+          .simhash64(TextAnalysis.normalizeText(col(textCol)))
+          .as("simhash"))
+
+  /** Reference implementation of [[simHash]] composed from built-ins:
+    * explode tokens → (id, token-hash, tf) aggregate → 64 conditional
+    * sums → bit assembly. Bit-identical on docs with ≥1 token (pinned
+    * by HashExprsSpec); kept as the cross-check oracle.
+    */
+  def simHashAgg(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tokens = df
       .where(col(textCol).isNotNull)
       .select(col(idCol).as("id"),

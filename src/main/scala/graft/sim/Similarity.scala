@@ -27,8 +27,16 @@ object Similarity {
 
   /** Sequential-fold dot product in double precision (deterministic
     * summation order — reproducible against the DuckDB oracle).
+    * Native codegen'd expression — the higher-order-function
+    * formulation ([[dotHof]]) is interpreted per element and measured
+    * ~3× slower end-to-end; results are bit-identical
+    * (VectorExprsSpec).
     */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExprs.dotNative(a, b)
+
+  /** Built-ins-only reference formulation of [[dot]] (cross-check). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0d), (acc, v) => acc + v)

@@ -1,0 +1,62 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.functions.HashExprs
+import graft.text.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class HashExprsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+
+  test("native minhash_sig is bit-identical to the explode+aggregate path") {
+    val k = 16; val n = 8
+    val viaAgg = Dedup.minHashSignaturesAgg(docs, "doc_id", "text", k = k, shingleN = n)
+      .as[(Long, Seq[Long])].collect().toMap
+    val viaExpr = docs
+      .where($"text".isNotNull)
+      .select($"doc_id",
+        HashExprs.minhashSig(TextAnalysis.normalizeText($"text"), n, k).as("sig"))
+      .where(size($"sig") > 0)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(viaExpr.keySet === viaAgg.keySet)
+    viaAgg.foreach { case (id, sig) => assert(viaExpr(id) === sig, s"doc $id") }
+  }
+
+  test("native simhash64 is bit-identical to the explode+aggregate path") {
+    val viaAgg = Dedup.simHashAgg(docs, "doc_id", "text").as[(Long, Long)].collect().toMap
+    val viaExpr = docs
+      .where($"text".isNotNull)
+      .select($"doc_id",
+        HashExprs.simhash64(TextAnalysis.normalizeText($"text")).as("simhash"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaAgg.keySet.subsetOf(viaExpr.keySet))
+    viaAgg.foreach { case (id, h) => assert(viaExpr(id) === h, s"doc $id") }
+  }
+
+  test("interpreted eval matches codegen (both paths exercised)") {
+    val df = Seq((1L, "the quick brown fox"), (2L, "ab")).toDF("id", "t")
+    // Codegen path: plain projection inside WholeStageCodegen.
+    val gen = df.select($"id", HashExprs.simhash64($"t").as("h"),
+      HashExprs.minhashSig($"t", 8, 4).as("s")).collect()
+    // Interpreted path: direct expression eval.
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val h1 = graft.functions.SimHash64(Literal("the quick brown fox")).eval(null)
+    assert(gen.find(_.getLong(0) == 1L).get.getLong(1) === h1)
+    val s2 = graft.functions.MinHashSig(Literal("ab"), 8, 4).eval(null)
+    assert(s2.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].numElements() === 0)
+    assert(gen.find(_.getLong(0) == 2L).get.getSeq[Long](2) === Seq.empty)
+  }
+
+  test("null propagates; empty text yields empty sig / zero simhash") {
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, "")).toDF("id", "t")
+    val r = df.select($"id", HashExprs.simhash64($"t").as("h"),
+      HashExprs.minhashSig($"t", 8, 4).as("s")).collect()
+    val byId = r.map(x => x.getLong(0) -> x).toMap
+    assert(byId(1L).isNullAt(1) && byId(1L).isNullAt(2))
+    assert(byId(2L).getLong(1) === 0L)
+    assert(byId(2L).getSeq[Long](2) === Seq.empty)
+  }
+}

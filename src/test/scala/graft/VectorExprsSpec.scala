@@ -1,0 +1,48 @@
+package graft
+
+import graft.sim.Similarity
+import org.apache.spark.sql.functions._
+
+class VectorExprsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+
+  test("native dot is bit-identical to the higher-order-function fold") {
+    val pairs = emb.limit(30).select($"vec_id".as("id_a"), $"embedding".as("va"))
+      .crossJoin(emb.limit(30).select($"vec_id".as("id_b"), $"embedding".as("vb")))
+    val r = pairs.select(
+      Similarity.dot($"va", $"vb").as("native"),
+      Similarity.dotHof($"va", $"vb").as("hof")).collect()
+    assert(r.length === 900)
+    r.foreach { row =>
+      // bit-identical, not approximately equal
+      assert(java.lang.Double.doubleToLongBits(row.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(row.getDouble(1)))
+    }
+  }
+
+  test("mixed float/double arrays (embedding × literal hyperplane)") {
+    val plane = array((0 until 64).map(i => lit(math.sin(i + 1))): _*)
+    val r = emb.limit(10).select(
+      Similarity.dot($"embedding", plane).as("native"),
+      Similarity.dotHof($"embedding", plane).as("hof")).collect()
+    r.foreach { row =>
+      assert(java.lang.Double.doubleToLongBits(row.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(row.getDouble(1)))
+    }
+  }
+
+  test("null propagation and empty arrays") {
+    val df = Seq(
+      (1L, Seq(1f, 2f), Seq(3f, 4f)),
+      (2L, Seq.empty[Float], Seq.empty[Float])
+    ).toDF("id", "a", "b")
+      .union(Seq((3L, null.asInstanceOf[Seq[Float]], Seq(1f))).toDF("id", "a", "b"))
+    val r = df.select($"id", Similarity.dot($"a", $"b").as("d")).collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getDouble(1)))).toMap
+    assert(r(1L) === Some(11.0))
+    assert(r(2L) === Some(0.0))
+    assert(r(3L) === None)
+  }
+}
