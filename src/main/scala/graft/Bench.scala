@@ -10,6 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm-up: spin up executors + codegen machinery and pull the input
+    // files through the page cache once, so the first measured query
+    // isn't charged for session startup.
+    try {
+      Seq("lineitem", "documents", "embeddings", "events", "orders", "customer")
+        .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftExprBridge}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native vector math for embedding similarity.
@@ -26,6 +26,19 @@ object VectorExprs {
   def dotNative(a: Column, b: Column): Column =
     GraftExprBridge.column(
       DotProduct(GraftExprBridge.expression(a), GraftExprBridge.expression(b)))
+
+  /** All `nTables` random-hyperplane sign buckets of a vector in one
+    * call: returns array<long> of length nTables, element t = the
+    * nPlanes sign bits of table t packed into a long. `planes` is the
+    * flattened [table][plane][dim] hyperplane matrix (driver-computed,
+    * shipped once with the plan). The composed alternative builds
+    * nTables·nPlanes separate 64-element literal-array dot expressions
+    * — minutes of janino compile at plan time and a huge codegen unit.
+    */
+  def hyperplaneBuckets(vec: Column, planes: Array[Double],
+      nTables: Int, nPlanes: Int, dim: Int): Column =
+    GraftExprBridge.column(
+      HyperplaneBuckets(GraftExprBridge.expression(vec), planes, nTables, nPlanes, dim))
 }
 
 /** Sequential-fold dot product over two numeric arrays (float or
@@ -73,5 +86,70 @@ object DotProduct {
       i += 1
     }
     acc
+  }
+}
+
+/** Packed sign-bit LSH buckets for all tables in one pass — see
+  * [[VectorExprs.hyperplaneBuckets]]. Bucket bit p of table t is set
+  * iff dot(vec, plane[t][p]) > 0 (same test as the composed
+  * expression form).
+  */
+case class HyperplaneBuckets(
+    child: Expression,
+    planes: Array[Double],
+    nTables: Int,
+    nPlanes: Int,
+    dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_buckets"
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HyperplaneBuckets.compute(
+      input.asInstanceOf[ArrayData], isFloat, planes, nTables, nPlanes, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HyperplaneBuckets.compute($c, $isFloat, $planesRef, $nTables, $nPlanes, $dim)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
+    copy(child = newChild)
+}
+
+object HyperplaneBuckets {
+
+  /** Static kernel (called from generated code — keep Java-callable). */
+  def compute(vec: ArrayData, vFloat: Boolean, planes: Array[Double],
+      nTables: Int, nPlanes: Int, dim: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val d = math.min(dim, vec.numElements())
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0L
+      var p = 0
+      while (p < nPlanes) {
+        val off = (t * nPlanes + p) * dim
+        var acc = 0d
+        var i = 0
+        while (i < d) {
+          val x = if (vFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+          acc += x * planes(off + i)
+          i += 1
+        }
+        if (acc > 0d) bucket |= (1L << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
   }
 }

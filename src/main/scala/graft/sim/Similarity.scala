@@ -95,16 +95,24 @@ object Similarity {
     (z.toDouble / Long.MaxValue.toDouble)
   }
 
-  /** Sign-bit bucket of a vector under `nPlanes` hyperplanes of one
-    * table, packed into a long.
+  /** Flattened [table][plane][dim] hyperplane matrix (driver-side
+    * constants, shipped once with the plan).
     */
-  private def bucketCol(vecCol: Column, dim: Int, table: Int, nPlanes: Int, seed: Long): Column =
-    (0 until nPlanes).map { p =>
-      val plane = array((0 until dim).map(d => lit(planeComponent(seed, table, p, d))): _*)
-      when(dot(vecCol, plane) > 0d, lit(1L << p)).otherwise(lit(0L))
-    }.reduce[Column](_.bitwiseXOR(_))
+  private def planeMatrix(seed: Long, nTables: Int, nPlanes: Int, dim: Int): Array[Double] = {
+    val out = new Array[Double](nTables * nPlanes * dim)
+    var i = 0
+    for (t <- 0 until nTables; p <- 0 until nPlanes; d <- 0 until dim) {
+      out(i) = planeComponent(seed, t, p, d); i += 1
+    }
+    out
+  }
 
-  /** (id, table, bucket) index — `nTables` buckets per vector. */
+  /** (id, table, bucket) index — `nTables` buckets per vector, all
+    * computed by ONE native [[graft.functions.HyperplaneBuckets]] call
+    * per row (the composed per-plane-dot expression form compiles
+    * nTables·nPlanes literal-array dots — plan-time cost that dwarfed
+    * the actual scan at bench scale).
+    */
   def lshIndex(
       df: DataFrame,
       idCol: String,
@@ -113,17 +121,10 @@ object Similarity {
       nPlanes: Int = 12,
       nTables: Int = 4,
       seed: Long = 42L): DataFrame = {
-    val buckets = transformTables(df, idCol, vecCol, dim, nPlanes, nTables, seed)
-    buckets
-  }
-
-  private def transformTables(
-      df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      nPlanes: Int, nTables: Int, seed: Long): DataFrame = {
-    val bucketArr = array((0 until nTables).map(t =>
-      bucketCol(col(vecCol), dim, t, nPlanes, seed)): _*)
-    df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-        posexplode(bucketArr))
+    val planes = planeMatrix(seed, nTables, nPlanes, dim)
+    val buckets = graft.functions.VectorExprs
+      .hyperplaneBuckets(col(vecCol), planes, nTables, nPlanes, dim)
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"), posexplode(buckets))
       .select(col("id"), col("vec"), col("pos").as("table"), col("col").as("bucket"))
   }
 
