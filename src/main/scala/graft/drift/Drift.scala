@@ -36,6 +36,42 @@ object Drift {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** The persistable baseline sketch: per-(group, bin) counts. O(groups
+    * × nBins) rows — write it once per baseline snapshot
+    * (`sketch(df,…).write.parquet(…)`), then score any later snapshot
+    * against it WITHOUT rescanning the baseline data via
+    * [[compareWithBaseline]]. Binning parameters must match between
+    * sketch and compare (callers persist them alongside, cf.
+    * ValidationRun metrics).
+    */
+  def sketch(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      nBins: Int,
+      lo: Double,
+      hi: Double): DataFrame =
+    bins(df, valueCol, groupCols, nBins, lo, hi)
+
+  /** PSI/KS of `cur` against an already-materialized baseline sketch
+    * (the output of [[sketch]], typically read back from parquet).
+    * Only `cur` is scanned; the sketch side is O(groups × nBins).
+    */
+  def compareWithBaseline(
+      cur: DataFrame,
+      baselineSketch: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      nBins: Int,
+      lo: Double,
+      hi: Double,
+      eps: Double = 1e-6): DataFrame = {
+    val c = bins(cur, valueCol, groupCols, nBins, lo, hi)
+      .withColumnRenamed("n", "n_cur")
+    val b = baselineSketch.withColumnRenamed("n", "n_base")
+    scoreBins(c.join(b, groupCols :+ "bin", "full_outer"), groupCols, eps)
+  }
+
   /** PSI + KS per group between `cur` and `base` over a shared binning.
     * Output: `(…groupCols, n_cur, n_base, psi, ks)` with
     * PSI = Σ (p−q)·ln(p/q) (eps-floored fractions) and
