@@ -103,10 +103,20 @@ object Dedup {
       .select(col(idCol).as("id"),
         split(TextAnalysis.normalizeText(col(textCol)), " ").as("__words"))
       .select(col("id"), explode(wordShinglesFromWords(col("__words"), n)).as("shingle"))
-    val dfW = Window.partitionBy(col("shingle"))
-    idx.withColumn("__df", count(lit(1)).over(dfW))
-      .where(col("__df") <= maxDf)
-      .drop("__df")
+    // Stop-shingle removal via aggregate + broadcast ANTI-join against
+    // the hot list: the hot list is tiny by construction (shingles with
+    // df > maxDf), while a window-count formulation would sort the whole
+    // exploded index. Map-side partial aggregation bounds the count
+    // shuffle by distinct-shingle cardinality.
+    // The index feeds the hot-list aggregate, both pair-join sides, and
+    // the size aggregate — persist so the explode runs once (at real
+    // scale: write the inverted index out once instead).
+    val cached = idx.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = cached.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("__df"))
+      .where(col("__df") > maxDf)
+      .select(col("shingle"))
+    cached.join(broadcast(hot), Seq("shingle"), "left_anti")
   }
 
   // -------------------------------------------------------------------
@@ -204,11 +214,14 @@ object Dedup {
     */
   def lshCandidates(signatures: DataFrame, bands: Int, maxBucket: Int = 1000): DataFrame = {
     val banded = bandedBuckets(signatures, bands)
-    val bw = Window.partitionBy(col("band"), col("bucket"))
-    val capped = banded
-      .withColumn("__bsz", count(lit(1)).over(bw))
-      .where(col("__bsz") <= maxBucket)
-      .drop("__bsz")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Oversized-bucket cap: aggregate + broadcast anti-join (hot-bucket
+    // list is tiny); avoids sorting the banded index as a window would.
+    val hot = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__bsz"))
+      .where(col("__bsz") > maxBucket)
+      .select(col("band"), col("bucket"))
+    val capped = banded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
     val a = capped.select(col("band"), col("bucket"), col("id").as("id_a"))
     val b = capped.select(col("band"), col("bucket"), col("id").as("id_b"))
     a.join(b, Seq("band", "bucket"))
@@ -340,11 +353,12 @@ object Dedup {
           call_function("shiftrightunsigned", col("simhash"), lit(16) * c)
             .bitwiseAND(lit(0xffffL)))))
       .select(col("id"), col("simhash"), col("pos").as("chunk"), col("col").as("cval"))
-    val bw = Window.partitionBy(col("chunk"), col("cval"))
-    val capped = chunked
-      .withColumn("__bsz", count(lit(1)).over(bw))
-      .where(col("__bsz") <= maxBucket)
-      .drop("__bsz")
+    val chunkedCached = chunked.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = chunkedCached.groupBy(col("chunk"), col("cval"))
+      .agg(count(lit(1)).as("__bsz"))
+      .where(col("__bsz") > maxBucket)
+      .select(col("chunk"), col("cval"))
+    val capped = chunkedCached.join(broadcast(hot), Seq("chunk", "cval"), "left_anti")
     val a = capped.select(col("chunk"), col("cval"), col("id").as("id_a"), col("simhash").as("sh_a"))
     val b = capped.select(col("chunk"), col("cval"), col("id").as("id_b"), col("simhash").as("sh_b"))
     a.join(b, Seq("chunk", "cval"))
