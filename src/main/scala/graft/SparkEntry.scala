@@ -421,8 +421,10 @@ object SparkEntry {
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 10),
         |s AS (SELECT q.q_id, e.vec_id,
-        |  list_dot_product(q.q_vec, e.v) /
-        |   (sqrt(list_dot_product(q.q_vec, q.q_vec)) * sqrt(list_dot_product(e.v, e.v))) AS c
+        |  CASE WHEN sqrt(list_dot_product(q.q_vec, q.q_vec)) * sqrt(list_dot_product(e.v, e.v)) = 0
+        |   THEN 0.0
+        |   ELSE list_dot_product(q.q_vec, e.v) /
+        |    (sqrt(list_dot_product(q.q_vec, q.q_vec)) * sqrt(list_dot_product(e.v, e.v))) END AS c
         | FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
         |r AS (SELECT q_id, vec_id, c,
         |  row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id ASC) AS rank
@@ -432,8 +434,10 @@ object SparkEntry {
     "q_neardup_embeddings" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  list_dot_product(a.v, b.v) /
-        |   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS c
+        |  CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) = 0
+        |   THEN 0.0
+        |   ELSE list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) END AS c
         | FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, round(c, 6) AS cos_sim FROM p WHERE c >= 0.35""".stripMargin
   )

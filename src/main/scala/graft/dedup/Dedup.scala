@@ -33,6 +33,13 @@ import org.apache.spark.sql.functions._
   * Semantics grounding: hash-then-compare equality at reference
   * rust/src/lib.rs:161-172; report-every-duplicate (not first-found)
   * mirrors the all-errors accumulation at app/.../HomeScreen.kt:785-789.
+  *
+  * Cache lifetime: the pairwise-mining functions persist their exploded
+  * index/signature frames internally (each is consumed by a hot-key
+  * aggregate AND the join sides). The returned frames stay lazy, so the
+  * caches cannot be unpersisted here — callers running many mining jobs
+  * in one session should `spark.catalog.clearCache()` between them, or
+  * at real scale write the index/signature tables out once instead.
   */
 object Dedup {
 
@@ -236,9 +243,15 @@ object Dedup {
       .select(col("id"), posexplode(bandSlices(col("sig"), bands)))
       .select(col("id"), col("pos").as("band"), xxhash64(col("col")).as("bucket"))
 
-  /** Split an array into `bands` contiguous slices (array of arrays). */
+  /** Split an array into `bands` contiguous slices (array of arrays).
+    * Integer floor division — `size/bands` as plain `/` is DOUBLE
+    * division in Spark, and fractional starts silently truncate into
+    * overlapping/skipped bands. Signatures whose length is not a
+    * multiple of `bands` would drop the tail; [[minHashNearDuplicates]]
+    * rejects that configuration up front.
+    */
   private def bandSlices(sig: Column, bands: Int): Column = {
-    val bandLen = size(sig) / bands
+    val bandLen = floor(size(sig) / lit(bands.toDouble)).cast("int")
     transform(sequence(lit(0), lit(bands - 1)), b =>
       slice(sig, b * bandLen + 1, bandLen))
   }
@@ -267,6 +280,10 @@ object Dedup {
       shingleN: Int = 8,
       minEstJaccard: Double = 0.7,
       maxBucket: Int = 1000): DataFrame = {
+    require(k % bands == 0 && bands <= k,
+      s"signature length k=$k must be a positive multiple of bands=$bands " +
+        "(banded LSH needs equal-size bands; a remainder would silently " +
+        "drop signature tail elements)")
     // The signature frame feeds band hashing AND both verification
     // joins — persist it so the shingle explode + k-min aggregate runs
     // once, not three times (at scale: checkpoint/write signatures).

@@ -56,6 +56,16 @@ case class MinHashSig(child: Expression, n: Int, k: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
 
+  // ExpectsInputTypes is unusable outside org.apache.spark.sql
+  // (AbstractDataType is private[sql]); enforce at analysis time here.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig requires a string argument, got ${t.sql}")
+    }
+
   override protected def nullSafeEval(input: Any): Any =
     MinHashSig.compute(input.asInstanceOf[UTF8String], n, k)
 
@@ -71,15 +81,28 @@ object MinHashSig {
   /** Static kernel (called from generated code — keep Java-callable). */
   def compute(s: UTF8String, n: Int, k: Int): ArrayData = {
     val str = s.toString
-    val len = str.length
-    if (len < n) return new GenericArrayData(Array.emptyLongArray)
+    // Windows are over CODE POINTS, not UTF-16 units — `substring()` in
+    // the composed DataFrame path counts code points, and windowing on
+    // chars would both break bit-parity on non-BMP text and split
+    // surrogate pairs mid-character. Precompute code-point offsets once.
+    val cpCount = str.codePointCount(0, str.length)
+    if (cpCount < n) return new GenericArrayData(Array.emptyLongArray)
+    val offsets = new Array[Int](cpCount + 1)
+    var o = 0
+    var ci = 0
+    while (ci < cpCount) {
+      offsets(ci) = o
+      o = str.offsetByCodePoints(o, 1)
+      ci += 1
+    }
+    offsets(cpCount) = str.length
     val mins = Array.fill(k)(Long.MaxValue)
     // Distinct shingles: the DataFrame path applies array_distinct before
     // hashing families; duplicates don't change a min, so no dedup needed
     // for correctness — skip the set allocation entirely.
     var i = 0
-    while (i <= len - n) {
-      val shingle = UTF8String.fromString(str.substring(i, i + n))
+    while (i <= cpCount - n) {
+      val shingle = UTF8String.fromString(str.substring(offsets(i), offsets(i + n)))
       // xxhash64(substring) — built-in seed 42, hashing the UTF-8 bytes.
       val base = XxHash64Function.hash(shingle, org.apache.spark.sql.types.StringType, 42L)
       val seed1 = XxHash64Function.hash(base, LongType, 42L)
@@ -107,6 +130,14 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"simhash64 requires a string argument, got ${t.sql}")
+    }
 
   override protected def nullSafeEval(input: Any): Any =
     SimHash64.compute(input.asInstanceOf[UTF8String])

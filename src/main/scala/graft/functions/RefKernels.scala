@@ -85,18 +85,23 @@ object RefKernels {
     * parts left to right, longer-wins tiebreak. Returns -1/0/1.
     */
   def versionCompare(a: Column, b: Column): Column = {
-    val pa = transform(split(a, "\\."), s => coalesce(s.try_cast("int"), lit(0)))
-    val pb = transform(split(b, "\\."), s => coalesce(s.try_cast("int"), lit(0)))
-    val n = greatest(size(pa), size(pb))
-    // pad both to n with zeros, then first non-equal position decides
+    // Reference semantics exactly (toIntOrNull + mapNotNull): parts
+    // that don't parse as ints are DROPPED (not zeroed); numeric parts
+    // compare positionwise over the common prefix; if that ties, the
+    // version with MORE parts wins ("1.0" > "1", unlike zero-padding
+    // which would call them equal).
+    def parts(c: Column) =
+      filter(transform(split(c, "\\."), s => s.try_cast("int")), x => x.isNotNull)
+    val pa = parts(a)
+    val pb = parts(b)
+    val common = least(size(pa), size(pb))
     val diff = filter(
-      zip_with(
-        concat(pa, array_repeat(lit(0), n - size(pa))),
-        concat(pb, array_repeat(lit(0), n - size(pb))),
-        (x, y) => x - y),
+      zip_with(slice(pa, lit(1), common), slice(pb, lit(1), common), (x, y) => x - y),
       d => d =!= 0)
-    when(size(diff) === 0, lit(0))
-      .when(element_at(diff, 1) > 0, lit(1))
-      .otherwise(lit(-1))
+    when(size(diff) > 0,
+      when(element_at(diff, 1) > 0, lit(1)).otherwise(lit(-1)))
+      .when(size(pa) > size(pb), lit(1))
+      .when(size(pa) < size(pb), lit(-1))
+      .otherwise(lit(0))
   }
 }

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftExprBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -42,20 +43,33 @@ object VectorExprs {
 }
 
 /** Sequential-fold dot product over two numeric arrays (float or
-  * double elements; mixed allowed). Null if either side is null;
-  * folds over the common prefix length like `zip_with` would after a
-  * length mismatch — callers guarantee equal dims.
+  * double elements; mixed allowed). Null if either side is null, if
+  * any ELEMENT is null, or if lengths differ — exactly matching the
+  * `zip_with`+`aggregate` formulation's null propagation.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "dot_product"
+
+  // ExpectsInputTypes is unusable outside org.apache.spark.sql
+  // (AbstractDataType is private[sql]); enforce at analysis time here.
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_product requires array<float>/array<double> arguments, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+  }
 
   private def isFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
-    case ArrayType(DoubleType, _) => false
-    case t => throw new IllegalArgumentException(s"dot_product: unsupported $t")
+    case _ => false
   }
 
   override protected def nullSafeEval(l: Any, r: Any): Any =
@@ -64,8 +78,15 @@ case class DotProduct(left: Expression, right: Expression)
       r.asInstanceOf[ArrayData], isFloat(right))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.DotProduct.compute($a, ${isFloat(left)}, $b, ${isFloat(right)})")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}_r = graft.functions.DotProduct.compute(
+        $a, ${isFloat(left)}, $b, ${isFloat(right)});
+      if (${ev.value}_r == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = ${ev.value}_r.doubleValue();
+      }
+    """)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
@@ -74,12 +95,19 @@ case class DotProduct(left: Expression, right: Expression)
 
 object DotProduct {
 
-  /** Static kernel (called from generated code — keep Java-callable). */
-  def compute(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  /** Static kernel (called from generated code — keep Java-callable).
+    * Returns null (boxed) when any traversed element is null, mirroring
+    * the higher-order-function formulation's null propagation.
+    */
+  def compute(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): java.lang.Double = {
+    // Length mismatch → null, exactly like zip_with (which null-pads the
+    // shorter side, making the aggregate sum null).
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     var acc = 0d
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       acc += x * y
@@ -104,6 +132,13 @@ case class HyperplaneBuckets(
 
   override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
   override def prettyName: String = "hyperplane_buckets"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_buckets requires array<float>/array<double>, got ${t.sql}")
+  }
 
   private def isFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true

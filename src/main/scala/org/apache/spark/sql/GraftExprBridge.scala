@@ -21,4 +21,13 @@ object GraftExprBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[classic.SparkSession]
       .sessionState.functionRegistry.registerFunction(name, info, builder)
+
+  /** Drain a SparkSessionExtensions' injected functions into a registry
+    * (`registerFunctions` is private[sql]) — lets tests exercise the
+    * `spark.sql.extensions` wiring without building a new session.
+    */
+  def applyExtensionFunctions(
+      ext: SparkSessionExtensions,
+      registry: org.apache.spark.sql.catalyst.analysis.FunctionRegistry): Unit =
+    ext.registerFunctions(registry)
 }

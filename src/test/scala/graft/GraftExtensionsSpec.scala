@@ -25,29 +25,43 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(dot === 11.0)
   }
 
-  test("config-injected extensions work at session build") {
-    // A sibling session with spark.sql.extensions set; verifies the
-    // spark-submit --conf route.
-    val s2 = org.apache.spark.sql.SparkSession.builder()
-      .master("local[2]")
-      .appName("graft-ext-test")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    try {
-      // getOrCreate may return the shared session (extensions already
-      // registered there by the previous test either way) — assert the
-      // function resolves and computes.
-      val r = s2.sql("SELECT simhash64('hello world')").head().getLong(0)
-      val expect = graft.functions.SimHash64.compute(
-        org.apache.spark.unsafe.types.UTF8String.fromString("hello world"))
-      assert(r === expect)
-    } finally ()
+  test("injectFunction wiring registers into a fresh FunctionRegistry") {
+    // Exercise the spark.sql.extensions route directly: apply the
+    // extensions class to a SparkSessionExtensions instance and drain it
+    // into a clean registry (getOrCreate would just return the shared
+    // test session and silently skip extension application).
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val registry = new SimpleFunctionRegistry
+    org.apache.spark.sql.GraftExprBridge.applyExtensionFunctions(ext, registry)
+    Seq("minhash_sig", "simhash64", "dot_product").foreach { f =>
+      assert(registry.functionExists(FunctionIdentifier(f)), f)
+    }
+    val built = registry.lookupFunction(
+      FunctionIdentifier("simhash64"), Seq(Literal("hello world")))
+    val expect = graft.functions.SimHash64.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("hello world"))
+    assert(built.eval(null) === expect)
   }
 
   test("argument validation: wrong arity fails analysis") {
     GraftExtensions.register(spark)
     intercept[Exception] { spark.sql("SELECT simhash64('a', 'b')").collect() }
     intercept[Exception] { spark.sql("SELECT minhash_sig('a')").collect() }
+  }
+
+  test("argument validation: wrong types fail at ANALYSIS, not execution") {
+    GraftExtensions.register(spark)
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT simhash64(42)").queryExecution.analyzed
+    }
+    assert(e1.getMessage.contains("string"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT dot_product(array(1, 2), array(3, 4))").queryExecution.analyzed
+    }
+    assert(e2.getMessage.toLowerCase.contains("array"))
   }
 }

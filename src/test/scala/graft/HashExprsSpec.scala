@@ -50,6 +50,17 @@ class HashExprsSpec extends SparkSpec {
     assert(gen.find(_.getLong(0) == 2L).get.getSeq[Long](2) === Seq.empty)
   }
 
+  test("minhash windows over code points: non-BMP text keeps bit-parity") {
+    // "𝄞" (U+1D11E) is a surrogate pair in UTF-16; char-based windowing
+    // would produce a different shingle count AND split the pair.
+    val df = Seq((1L, "𝄞abcdefgh foo"), (2L, "日本語のテキストです長い")).toDF("doc_id", "text")
+    val viaAgg = Dedup.minHashSignaturesAgg(df, "doc_id", "text", k = 8, shingleN = 8)
+      .as[(Long, Seq[Long])].collect().toMap
+    val viaExpr = Dedup.minHashSignatures(df, "doc_id", "text", k = 8, shingleN = 8)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(viaExpr === viaAgg)
+  }
+
   test("null propagates; empty text yields empty sig / zero simhash") {
     val df = Seq((1L, null.asInstanceOf[String]), (2L, "")).toDF("id", "t")
     val r = df.select($"id", HashExprs.simhash64($"t").as("h"),

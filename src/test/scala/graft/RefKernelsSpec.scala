@@ -70,6 +70,8 @@ class RefKernelsSpec extends SparkSpec {
       ("2.0", "10.0", -1),
       ("1.2.3.1", "1.2.3", 1), // longer wins
       ("1.2.3", "1.2.3.0.0.1", -1),
+      ("1", "1.0", -1), // longer wins even when the extra part is 0 (reference: latestParts.size > currParts.size)
+      ("1.x.2", "1.2", 0), // non-numeric parts dropped (toIntOrNull+mapNotNull), not zeroed
       ("0.9", "1.0", -1))
     val df = cases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
     val got = df.select(RefKernels.versionCompare($"a", $"b")).as[Int].collect()
