@@ -66,7 +66,17 @@ object ScalingBench {
           df.where(col("repo").isNotNull),
           dim, Seq("repo", "commit"), broadcastDim = false).head()
       else null
-    (if (verdicts != null) verdicts.getLong(0) else 0L,
+    // Training-data op at scale: MinHash+LSH near-dup mining over the
+    // content column (native zero-shuffle signatures → banded buckets →
+    // capped candidate pairs). Separate job so `full`'s baseline numbers
+    // stay comparable across rounds.
+    val dedup =
+      if (job == "dedup")
+        graft.dedup.Dedup.minHashNearDuplicates(
+          df.select(col("id"), col("content")), "id", "content",
+          k = 64, bands = 16, shingleN = 8, minEstJaccard = 0.5).count()
+      else -1L
+    (if (verdicts != null) verdicts.getLong(0) else dedup,
       if (verdicts != null) verdicts.getLong(1) else 0L,
       if (uniq != null) uniq.getAs[Long]("n_dup_rows") else 0L,
       if (ri != null) ri.getAs[Long]("n_orphans") else 0L)
@@ -94,6 +104,9 @@ object ScalingBench {
       val s = session(cores)
       val check = pipeline(s, input, dimP, job) // warm-up (JIT + codegen cache)
       val times = (1 to runs).map { _ =>
+        // Drop caches persisted inside mining functions by the previous
+        // run (each invocation pins a fresh frame; see Dedup scaladoc).
+        s.catalog.clearCache()
         val t0 = System.nanoTime()
         val c = pipeline(s, input, dimP, job)
         require(c == check, s"result drift across runs at $cores cores: $c vs $check")
