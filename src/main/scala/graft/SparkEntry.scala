@@ -37,11 +37,27 @@ object SparkEntry {
   // Shared fixtures over the driver testdata (TESTDATA.md).
   // ---------------------------------------------------------------------
 
+  /** Driver `documents` table + one derived string column (`size_tag`)
+    * that is numeric for normal docs and tagged ("~553") for oversized
+    * ones — gives the Cerberus `type` rule a selectively-failing target
+    * (all base columns are homogeneously typed). Mirrored exactly by
+    * [[docsXSql]].
+    */
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+      .withColumn("size_tag",
+        when(col("n_chars") > 500, concat(lit("~"), col("n_chars")))
+          .otherwise(col("n_chars").cast("string")))
+
+  private val docsXSql: String =
+    """(SELECT *,
+      |  CASE WHEN n_chars > 500 THEN '~' || CAST(n_chars AS VARCHAR)
+      |       ELSE CAST(n_chars AS VARCHAR) END AS size_tag
+      | FROM documents) docs_x""".stripMargin
 
   /** Cerberus-style schema over the driver `documents` table; thresholds
-    * chosen so every rule kind fires on real rows at sf0.01.
+    * chosen so every rule kind — including `type`, `dependencies`, and
+    * the warning severity channel — fires on real rows at sf0.01.
     */
   private val docSchema = Schema.of(
     "doc_id" -> FieldSpec(required = true),
@@ -49,38 +65,58 @@ object SparkEntry {
       required = true,
       notEmpty = true,
       minLength = Some(100),
-      normalize = Some(trim(_))),
+      normalize = Some(trim(_)),
+      // short-but-present text is a quality smell, not a hard failure:
+      // report on the warning channel (reference's 3-channel outcome
+      // mapping, app/.../HomeViewModel.kt:179-185)
+      ruleSeverity = Map("minlength" -> graft.schema.Severity.Warning)),
     "lang" -> FieldSpec(required = true, allowed = Some(Seq("de", "en", "es", "fr"))),
-    "source" -> FieldSpec(required = true, regex = Some("src[0-9]{1,2}")),
-    "n_chars" -> FieldSpec(required = true, min = Some(100d), max = Some(500d))
+    "source" -> FieldSpec(
+      required = true,
+      regex = Some("src[0-9]{1,2}"),
+      // cross-field `dependencies` (reference cross-field check,
+      // app/.../MainActivity.kt:534-535): source attribution is only
+      // meaningful for the four supported European langs
+      dependencies = Map("lang" -> Seq("de", "en", "es", "fr"))),
+    "n_chars" -> FieldSpec(required = true, min = Some(100d), max = Some(500d)),
+    "size_tag" -> FieldSpec(
+      required = true,
+      // Cerberus `type` rule (strict-schema rejection, rust/src/lib.rs:
+      // 81-83): the tag must parse as an integer
+      dtype = Some(org.apache.spark.sql.types.LongType))
   )
 
   /** SQL body shared by the validate/verdict oracles: per-rule failure
-    * predicates, mirroring RuleCompiler semantics exactly.
+    * predicates + severity, mirroring RuleCompiler semantics exactly.
     */
-  private val docRuleSql: Seq[(String, String, String, String)] = Seq(
-    // (field, rule, failPredicate, valueExpr)
-    ("doc_id", "required", "doc_id IS NULL", "CAST(NULL AS VARCHAR)"),
-    ("text", "required", "text IS NULL", "CAST(NULL AS VARCHAR)"),
-    ("text", "empty", "text IS NOT NULL AND trim(text) = ''", "trim(text)"),
-    ("text", "minlength", "text IS NOT NULL AND length(trim(text)) < 100", "trim(text)"),
-    ("lang", "required", "lang IS NULL", "CAST(NULL AS VARCHAR)"),
-    ("lang", "allowed", "lang IS NOT NULL AND lang NOT IN ('de','en','es','fr')", "lang"),
-    ("source", "required", "source IS NULL", "CAST(NULL AS VARCHAR)"),
-    ("source", "regex", "source IS NOT NULL AND NOT regexp_full_match(source, 'src[0-9]{1,2}')", "source"),
-    ("n_chars", "required", "n_chars IS NULL", "CAST(NULL AS VARCHAR)"),
-    ("n_chars", "min", "n_chars IS NOT NULL AND n_chars < 100", "CAST(n_chars AS VARCHAR)"),
-    ("n_chars", "max", "n_chars IS NOT NULL AND n_chars > 500", "CAST(n_chars AS VARCHAR)")
+  private val docRuleSql: Seq[(String, String, String, String, String)] = Seq(
+    // (field, rule, failPredicate, valueExpr, severity)
+    ("doc_id", "required", "doc_id IS NULL", "CAST(NULL AS VARCHAR)", "error"),
+    ("text", "required", "text IS NULL", "CAST(NULL AS VARCHAR)", "error"),
+    ("text", "empty", "text IS NOT NULL AND trim(text) = ''", "trim(text)", "error"),
+    ("text", "minlength", "text IS NOT NULL AND length(trim(text)) < 100", "trim(text)", "warning"),
+    ("lang", "required", "lang IS NULL", "CAST(NULL AS VARCHAR)", "error"),
+    ("lang", "allowed", "lang IS NOT NULL AND lang NOT IN ('de','en','es','fr')", "lang", "error"),
+    ("source", "required", "source IS NULL", "CAST(NULL AS VARCHAR)", "error"),
+    ("source", "regex", "source IS NOT NULL AND NOT regexp_full_match(source, 'src[0-9]{1,2}')", "source", "error"),
+    ("source", "dependencies", "source IS NOT NULL AND (lang IS NULL OR lang NOT IN ('de','en','es','fr'))", "source", "error"),
+    ("n_chars", "required", "n_chars IS NULL", "CAST(NULL AS VARCHAR)", "error"),
+    ("n_chars", "min", "n_chars IS NOT NULL AND n_chars < 100", "CAST(n_chars AS VARCHAR)", "error"),
+    ("n_chars", "max", "n_chars IS NOT NULL AND n_chars > 500", "CAST(n_chars AS VARCHAR)", "error"),
+    ("size_tag", "required", "size_tag IS NULL", "CAST(NULL AS VARCHAR)", "error"),
+    ("size_tag", "type", "size_tag IS NOT NULL AND TRY_CAST(size_tag AS BIGINT) IS NULL", "size_tag", "error")
   )
 
   private val docViolationsSql: String = docRuleSql
-    .map { case (f, r, pred, v) =>
-      s"SELECT doc_id, '$f' AS field, '$r' AS rule, $v AS value FROM documents WHERE $pred"
+    .map { case (f, r, pred, v, sev) =>
+      s"SELECT doc_id, '$f' AS field, '$r' AS rule, $v AS value, '$sev' AS severity FROM $docsXSql WHERE $pred"
     }
     .mkString(" UNION ALL ")
 
-  private val docViolationCountSql: String = docRuleSql
-    .map { case (_, _, pred, _) => s"(CASE WHEN $pred THEN 1 ELSE 0 END)" }
+  private def docViolationCountSql(severities: Set[String]): String = docRuleSql
+    .collect { case (_, _, pred, _, sev) if severities(sev) =>
+      s"(CASE WHEN $pred THEN 1 ELSE 0 END)"
+    }
     .mkString(" + ")
 
   // ---------------------------------------------------------------------
@@ -178,9 +214,14 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("n_common"),
           col("size_a"), col("size_b"), round(col("jaccard"), 6).as("jaccard"))),
     "q_minhash_documents" -> ((s, dir) =>
-      // MinHash signatures (xxhash64-based — not DuckDB-expressible;
-      // rows-only check; semantics pinned in DedupSpec).
-      Dedup.minHashSignatures(docs(s, dir), "doc_id", "text", k = 64, shingleN = 8)),
+      // MinHash signatures, exploded to one (doc_id, pos, minhash) row
+      // per signature coordinate — scalar columns so the driver's
+      // rows-only harness can sort/hash them (an array<bigint> column
+      // crashes pandas). xxhash64 isn't DuckDB-expressible → rows-only;
+      // bit-level semantics pinned in DedupSpec/HashExprsSpec.
+      Dedup.minHashSignatures(docs(s, dir), "doc_id", "text", k = 64, shingleN = 8)
+        .select(col("id").as("doc_id"), posexplode(col("sig")))
+        .select(col("doc_id"), col("pos"), col("col").as("minhash"))),
     "q_neardup_minhash_documents" -> ((s, dir) =>
       Dedup.minHashNearDuplicates(docs(s, dir), "doc_id", "text",
         k = 64, bands = 16, shingleN = 8, minEstJaccard = 0.5)),
@@ -203,8 +244,19 @@ object SparkEntry {
         "embedding", dim = 64, k = 5, nPlanes = 4, nTables = 16)
     }),
     "q_neardup_embeddings" -> ((s, dir) => {
+      // Exact O(n²) variant — oracle companion ONLY (DuckDB-checkable at
+      // sf0.01); the scale path is q_neardup_lsh_embeddings below.
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.nearDupPairsExact(emb, "vec_id", "embedding", minCosine = 0.35)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
+    }),
+    "q_neardup_lsh_embeddings" -> ((s, dir) => {
+      // LSH-bucketed near-dup pairs — the 100 TB path (bucket-bounded
+      // candidate joins, no cartesian). Rows-only check (probabilistic
+      // recall); pairs ⊆ exact + recall floor pinned in SimilaritySpec.
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.nearDupPairsLsh(emb, "vec_id", "embedding",
+          dim = 64, minCosine = 0.35, nPlanes = 6, nTables = 12)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
     }),
 
@@ -219,8 +271,17 @@ object SparkEntry {
       s"""SELECT lang, count(*) AS n_rows,
          | CAST(SUM(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_rows,
          | CAST(SUM(v) AS BIGINT) AS n_violations,
-         | SUM(v) = 0 AS pass
-         |FROM (SELECT lang, $docViolationCountSql AS v FROM documents)
+         | CAST(SUM(w) AS BIGINT) AS n_warnings,
+         | CAST(SUM(e) AS BIGINT) AS n_errors,
+         | CASE WHEN SUM(e) > 0 THEN 'error'
+         |      WHEN SUM(w) > 0 THEN 'warning'
+         |      ELSE NULL END AS worst_severity,
+         | SUM(e) = 0 AS pass
+         |FROM (SELECT lang,
+         |       ${docViolationCountSql(Set("warning", "error", "fatal"))} AS v,
+         |       ${docViolationCountSql(Set("warning"))} AS w,
+         |       ${docViolationCountSql(Set("error", "fatal"))} AS e
+         |      FROM $docsXSql)
          |GROUP BY lang""".stripMargin,
     "q_stats_lineitem" ->
       """SELECT l_returnflag, count(*) AS n_rows,

@@ -1,6 +1,6 @@
 package graft.compile
 
-import graft.schema.{FieldSpec, Schema}
+import graft.schema.{FieldSpec, Schema, Severity}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
@@ -18,15 +18,19 @@ import org.apache.spark.sql.types.StringType
   */
 object RuleCompiler {
 
-  /** One compiled rule: the violation predicate (true = violation) and
-    * the normalized value to report, both as Catalyst columns.
+  /** One compiled rule: the violation predicate (true = violation), the
+    * normalized value to report (both as Catalyst columns), and the
+    * severity channel the failure reports on.
     */
   final case class CompiledRule(
       field: String,
       rule: String,
       fails: Column,
-      value: Column
-  )
+      value: Column,
+      severity: String = Severity.Error
+  ) {
+    def failing: Boolean = Severity.rank(severity) >= Severity.failingRank
+  }
 
   /** Normalized view of a field (identity when no normalizer given). */
   private def normalized(name: String, spec: FieldSpec): Column =
@@ -45,7 +49,8 @@ object RuleCompiler {
     val isNull = v.isNull
     val nonNull = v.isNotNull
     def rule(r: String, fails: Column, value: Column = vStr) =
-      CompiledRule(name, r, fails, value)
+      CompiledRule(name, r, fails, value,
+        spec.ruleSeverity.getOrElse(r, spec.severity))
 
     val nullRules = Seq(
       if (spec.required) Some(rule("required", isNull)) else None,
@@ -89,7 +94,8 @@ object RuleCompiler {
       }
 
     val customRules = spec.checks.map { c =>
-      rule(c.rule, nonNull && !coalesce(c.pass(v), lit(false)))
+      CompiledRule(name, c.rule, nonNull && !coalesce(c.pass(v), lit(false)),
+        vStr, spec.ruleSeverity.getOrElse(c.rule, c.severity))
     }
 
     nullRules ++ valueRules ++ depRule ++ customRules
@@ -113,7 +119,8 @@ object RuleCompiler {
         struct(
           lit(r.field).as("field"),
           lit(r.rule).as("rule"),
-          r.value.as("value")
+          r.value.as("value"),
+          lit(r.severity).as("severity")
         )
       )
     }
@@ -125,9 +132,37 @@ object RuleCompiler {
   /** Number of failed rules for a row — plain integer arithmetic, fully
     * codegen'd, no array materialization.
     */
-  def violationCount(schema: Schema): Column =
+  def violationCount(schema: Schema): Column = countWhere(schema, _ => true)
+
+  /** Failures on a failing channel (severity ≥ error) — the count that
+    * decides pass/fail; warnings are reported but don't fail.
+    */
+  def errorCount(schema: Schema): Column = countWhere(schema, _.failing)
+
+  /** Failures below the failing threshold (the warn channel). */
+  def warningCount(schema: Schema): Column = countWhere(schema, r => !r.failing)
+
+  private def countWhere(schema: Schema, p: CompiledRule => Boolean): Column =
     compile(schema)
+      .filter(p)
       .map(r => when(r.fails, 1).otherwise(0))
       .reduceOption(_ + _)
       .getOrElse(lit(0))
+
+  /** Worst severity rank of the row's failed rules (-1 = clean row) —
+    * integer max, codegen'd; feeds the per-partition worst-severity
+    * rollup (reference channel semantics, app/.../HomeViewModel.kt:
+    * 179-185).
+    */
+  def worstSeverityRank(schema: Schema): Column =
+    compile(schema)
+      .map(r => when(r.fails, lit(Severity.rank(r.severity))).otherwise(lit(-1)))
+      .reduceOption(greatest(_, _))
+      .getOrElse(lit(-1))
+
+  /** Map a severity rank column back to its name (null for -1). */
+  def severityName(rank: Column): Column =
+    Severity.rank.foldLeft(lit(null).cast(StringType)) { case (acc, (name, r)) =>
+      when(rank === r, lit(name)).otherwise(acc)
+    }
 }

@@ -56,7 +56,6 @@ object ValidationRun {
 
     // Data writes first (per-partition dirs, dynamic overwrite keeps a
     // crashed-run retry idempotent) …
-    val annotated = Validator.annotate(slice, schema)
     Validator
       .violations(slice, schema, keyCols :+ partitionCol)
       .withColumn("run_id", lit(runId))
@@ -66,13 +65,8 @@ object ValidationRun {
       .partitionBy(partitionCol)
       .parquet(s"$outDir/violations")
 
-    val verdicts = annotated
-      .groupBy(col(partitionCol))
-      .agg(
-        count(lit(1)).as("n_rows"),
-        sum(when(col("n_violations") > 0, 1L).otherwise(0L)).as("n_bad_rows"),
-        sum(col("n_violations").cast("long")).as("n_violations"),
-        (sum(col("n_violations").cast("long")) === 0L).as("pass"))
+    // Single source of verdict semantics (incl. severity channels).
+    val verdicts = Verdict.compute(slice, schema, partitionCol)
       .withColumn("run_id", lit(runId))
     verdicts.write.mode(SaveMode.Append).parquet(s"$outDir/verdicts")
 

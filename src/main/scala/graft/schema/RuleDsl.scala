@@ -38,15 +38,47 @@ final case class FieldSpec(
     maxLength: Option[Int] = None,
     dependencies: Map[String, Seq[String]] = Map.empty,
     normalize: Option[Column => Column] = None,
-    checks: Seq[CustomCheck] = Nil
-)
+    checks: Seq[CustomCheck] = Nil,
+    severity: String = Severity.Error,
+    ruleSeverity: Map[String, String] = Map.empty
+) {
+  (severity +: ruleSeverity.values.toSeq).foreach(Severity.requireKnown)
+}
+
+/** Violation severity channels — closed, ordered vocabulary mirroring
+  * the reference's three outcome channels (IllegalArgument /
+  * IllegalState / other at app/.../HomeViewModel.kt:179-185). A
+  * partition verdict rolls up to the WORST severity seen; only
+  * `error`-and-above fail the partition (warnings are reported data).
+  */
+object Severity {
+  val Warning = "warning"
+  val Error = "error"
+  val Fatal = "fatal"
+
+  /** Ordering rank; -1 is reserved for "no violation". */
+  val rank: Map[String, Int] = Map(Warning -> 0, Error -> 1, Fatal -> 2)
+
+  val failingRank: Int = rank(Error)
+
+  def requireKnown(s: String): Unit =
+    require(rank.contains(s),
+      s"unknown severity '$s' (closed vocabulary: ${rank.keys.mkString(", ")})")
+
+  def ofRank(r: Int): Option[String] = rank.collectFirst { case (n, x) if x == r => n }
+}
 
 /** A named custom per-row invariant; `pass` maps the (normalized) field
   * column to a boolean Column. Example: sha256(content) equality
   * (semantics grounding: hash-then-compare at reference
   * rust/src/lib.rs:161-172).
   */
-final case class CustomCheck(rule: String, pass: Column => Column)
+final case class CustomCheck(
+    rule: String,
+    pass: Column => Column,
+    severity: String = Severity.Error) {
+  Severity.requireKnown(severity)
+}
 
 /** A schema is an ordered mapping field → spec. Order determines the
   * order of violation-struct slots (deterministic output).

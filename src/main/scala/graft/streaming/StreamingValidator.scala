@@ -27,7 +27,8 @@ object StreamingValidator {
     stream
       .select(keys :+ explode(RuleCompiler.violationsArray(schema)).as("v"): _*)
       .where(col("v").isNotNull)
-      .select(keys :+ col("v.field") :+ col("v.rule") :+ col("v.value"): _*)
+      .select(keys :+ col("v.field") :+ col("v.rule") :+ col("v.value")
+        :+ col("v.severity"): _*)
   }
 
   /** Tumbling-window violation-rate verdicts per partition column:
@@ -43,6 +44,7 @@ object StreamingValidator {
       watermarkDelay: String = "1 minute"
   ): DataFrame =
     annotate(stream, schema)
+      .withColumn("__n_err", RuleCompiler.errorCount(schema))
       // Event time must be TIMESTAMP (parquet often yields TIMESTAMP_NTZ;
       // session TZ is pinned UTC so the cast is deterministic).
       .withColumn(tsCol, col(tsCol).cast("timestamp"))
@@ -51,5 +53,6 @@ object StreamingValidator {
       .agg(
         count(lit(1)).as("n_rows"),
         sum(col("n_violations").cast("long")).as("n_violations"),
-        (sum(col("n_violations").cast("long")) === 0L).as("pass"))
+        // pass = no failing-channel (≥ error) violations, same as batch
+        (sum(col("__n_err").cast("long")) === 0L).as("pass"))
 }

@@ -29,14 +29,16 @@ object Validator {
   def annotate(df: DataFrame, schema: Schema): DataFrame =
     df.withColumn("n_violations", RuleCompiler.violationCount(schema))
 
-  /** Normalized violation rows. `keyCols` identify the offending row
-    * (e.g. repo, path, commit — or doc_id).
+  /** Normalized violation rows `(…keyCols, field, rule, value,
+    * severity)`. `keyCols` identify the offending row (e.g. repo, path,
+    * commit — or doc_id).
     */
   def violations(df: DataFrame, schema: Schema, keyCols: Seq[String]): DataFrame = {
     val keys: Seq[Column] = keyCols.map(col)
     df.select(keys :+ explode(RuleCompiler.violationsArray(schema)).as("v"): _*)
       .where(col("v").isNotNull)
-      .select(keys :+ col("v.field") :+ col("v.rule") :+ col("v.value"): _*)
+      .select(keys :+ col("v.field") :+ col("v.rule") :+ col("v.value")
+        :+ col("v.severity"): _*)
   }
 
   /** Rows with zero violations (the validated/clean subset). */

@@ -1,5 +1,6 @@
 package graft.verdict
 
+import graft.compile.RuleCompiler
 import graft.schema.Schema
 import graft.validate.Validator
 import org.apache.spark.sql.DataFrame
@@ -10,22 +11,34 @@ import org.apache.spark.sql.functions._
   * Mirrors the reference's validate-all-then-commit shape: an import is
   * accepted only when every record passes (app/.../HomeViewModel.kt:
   * 168-175); here a partition passes only when it contributed zero
-  * violations. Runs as one hash aggregate over integer flags (partial
-  * aggregation map-side, no violation-row materialization).
+  * ERROR-severity violations. Warnings are data — reported, rolled up,
+  * never failing (the reference's three outcome channels,
+  * app/.../HomeViewModel.kt:179-185). Runs as one hash aggregate over
+  * integer flags (partial aggregation map-side, no violation-row
+  * materialization).
   */
 object Verdict {
 
   /** Verdict table: one row per value of `partitionCol` with
-    * `(partitionCol, n_rows, n_bad_rows, n_violations, pass)`.
+    * `(partitionCol, n_rows, n_bad_rows, n_violations, n_warnings,
+    * n_errors, worst_severity, pass)`. `pass` = zero violations on a
+    * failing channel (severity ≥ error); `worst_severity` is the max
+    * severity observed in the partition (null when clean).
     */
   def compute(df: DataFrame, schema: Schema, partitionCol: String): DataFrame =
     Validator
       .annotate(df, schema)
+      .withColumn("__n_err", RuleCompiler.errorCount(schema))
+      .withColumn("__n_warn", RuleCompiler.warningCount(schema))
+      .withColumn("__worst", RuleCompiler.worstSeverityRank(schema))
       .groupBy(col(partitionCol))
       .agg(
         count(lit(1)).as("n_rows"),
         sum(when(col("n_violations") > 0, 1L).otherwise(0L)).as("n_bad_rows"),
         sum(col("n_violations").cast("long")).as("n_violations"),
-        (sum(col("n_violations").cast("long")) === 0L).as("pass")
+        sum(col("__n_warn").cast("long")).as("n_warnings"),
+        sum(col("__n_err").cast("long")).as("n_errors"),
+        RuleCompiler.severityName(max(col("__worst"))).as("worst_severity"),
+        (sum(col("__n_err").cast("long")) === 0L).as("pass")
       )
 }

@@ -54,8 +54,9 @@ class ResumeSpec extends SparkSpec {
     val out = tmp()
     ValidationRun.run(files, CodeFiles.schema, "lang", CodeFiles.keyCols, out)
     val written = spark.read.parquet(s"$out/violations")
-      .select("repo", "path", "commit", "field", "rule", "value")
+      .select("repo", "path", "commit", "field", "rule", "value", "severity")
     val direct = Validator.violations(files, CodeFiles.schema, CodeFiles.keyCols)
+      .select("repo", "path", "commit", "field", "rule", "value", "severity")
     assert(written.exceptAll(direct).isEmpty && direct.exceptAll(written).isEmpty)
   }
 

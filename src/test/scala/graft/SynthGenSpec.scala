@@ -41,7 +41,8 @@ class SynthGenSpec extends SparkSpec {
     val out = SparkEntry.entry(spark)
     assert(out.count() > 0)
     assert(out.columns.toSeq ===
-      Seq("lang", "n_rows", "n_bad_rows", "n_violations", "pass"))
+      Seq("lang", "n_rows", "n_bad_rows", "n_violations", "n_warnings",
+        "n_errors", "worst_severity", "pass"))
   }
 
   test("full pipeline finds every injected violation kind") {

@@ -134,8 +134,57 @@ class ValidatorSpec extends SparkSpec {
       "lang" -> FieldSpec(allowed = Some(Seq("en", "de"))))
     assert(Validator.clean(df, schema).count() === 1)
     val v = Verdict.compute(df, schema, "lang").collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("n_bad_rows"), r.getAs[Long]("n_violations"),
+        r.getAs[Boolean]("pass")))
       .toSet
     assert(v === Set(("en", 2L, 1L, 1L, false), ("xx", 1L, 1L, 1L, false)))
+  }
+
+  test("severity: violation rows carry their channel; per-rule override wins") {
+    // Three outcome channels, reference app/.../HomeViewModel.kt:179-185.
+    val df = Seq((1, "ab")).toDF("id", "name")
+    val schema = Schema.of("name" -> FieldSpec(
+      minLength = Some(3), regex = Some("[0-9]+"),
+      ruleSeverity = Map("minlength" -> graft.schema.Severity.Warning)))
+    val got = Validator.violations(df, schema, Seq("id"))
+      .select("rule", "severity").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("minlength", "warning"), ("regex", "error")))
+  }
+
+  test("severity: warnings never fail a partition; worst severity rolls up") {
+    val df = Seq(
+      (1, "ab", "p_warn"), // minlength only → warning channel
+      (2, "9!", "p_err"), // minlength (warn) + regex (error)
+      (3, "abc123", "p_clean"))
+      .toDF("id", "name", "part")
+    val schema = Schema.of("name" -> FieldSpec(
+      minLength = Some(3), regex = Some("[a-z0-9]+"),
+      ruleSeverity = Map("minlength" -> graft.schema.Severity.Warning)))
+    val v = Verdict.compute(df, schema, "part").collect()
+      .map(r => r.getAs[String]("part") ->
+        ((r.getAs[Long]("n_warnings"), r.getAs[Long]("n_errors"),
+          r.getAs[String]("worst_severity"), r.getAs[Boolean]("pass"))))
+      .toMap
+    assert(v("p_warn") === ((1L, 0L, "warning", true)))
+    assert(v("p_err") === ((1L, 1L, "error", false)))
+    assert(v("p_clean") === ((0L, 0L, null, true)))
+  }
+
+  test("severity: fatal outranks error in the rollup; unknown severity rejected") {
+    val df = Seq((1, "boom", "p")).toDF("id", "name", "part")
+    val schema = Schema.of("name" -> FieldSpec(
+      allowed = Some(Seq("ok")), checks = Seq(CustomCheck(
+        "check_never", _ => lit(false), severity = graft.schema.Severity.Fatal))))
+    val r = Verdict.compute(df, schema, "part").collect().head
+    assert(r.getAs[String]("worst_severity") === "fatal")
+    assert(r.getAs[Boolean]("pass") === false)
+    assertThrows[IllegalArgumentException] {
+      FieldSpec(severity = "catastrophic")
+    }
+    assertThrows[IllegalArgumentException] {
+      CustomCheck("x", identity, severity = "mild")
+    }
   }
 }
