@@ -25,6 +25,7 @@ object Bench {
       val err =
         try { fn(spark, sfDir).count(); None }
         catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
+        finally graft.util.CacheScope.shared.release() // miners' internal frames
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
     def esc(s: String) =

@@ -45,7 +45,7 @@ object ScalingBench {
     * Returns (violations, badRows, dupRows, orphans) — the checksum.
     */
   private def pipeline(spark: SparkSession, inputPath: String, dimPath: String,
-      job: String): (Long, Long, Long, Long) = {
+      job: String, scope: graft.util.CacheScope): (Long, Long, Long, Long) = {
     val df = spark.read.parquet(inputPath)
     val dim = spark.read.parquet(dimPath)
     val verdicts =
@@ -74,7 +74,8 @@ object ScalingBench {
       if (job == "dedup")
         graft.dedup.Dedup.minHashNearDuplicates(
           df.select(col("id"), col("content")), "id", "content",
-          k = 64, bands = 16, shingleN = 8, minEstJaccard = 0.5).count()
+          k = 64, bands = 16, shingleN = 8, minEstJaccard = 0.5,
+          scope = scope).count()
       else -1L
     (if (verdicts != null) verdicts.getLong(0) else dedup,
       if (verdicts != null) verdicts.getLong(1) else 0L,
@@ -107,13 +108,15 @@ object ScalingBench {
     // are printed for transparency.
     def measure(cores: Int): (Double, Seq[Double], (Long, Long, Long, Long)) = {
       val s = session(cores)
-      val check = pipeline(s, input, dimP, job) // warm-up (JIT + codegen cache)
+      // Each run owns a CacheScope, released after its action completes —
+      // deterministic unpersist of the miners' internal frames between
+      // runs (no session-wide clearCache sledgehammer).
+      val check = graft.util.CacheScope.withScope { sc =>
+        pipeline(s, input, dimP, job, sc) // warm-up (JIT + codegen cache)
+      }
       val times = (1 to runs).map { _ =>
-        // Drop caches persisted inside mining functions by the previous
-        // run (each invocation pins a fresh frame; see Dedup scaladoc).
-        s.catalog.clearCache()
         val t0 = System.nanoTime()
-        val c = pipeline(s, input, dimP, job)
+        val c = graft.util.CacheScope.withScope(sc => pipeline(s, input, dimP, job, sc))
         require(c == check, s"result drift across runs at $cores cores: $c vs $check")
         (System.nanoTime() - t0) / 1e9
       }

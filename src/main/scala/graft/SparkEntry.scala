@@ -262,8 +262,21 @@ object SparkEntry {
 
     // --- training-data pipeline: multimodal plumbing (stub decode) -----
     "q_multimodal_meta" -> ((s, _) =>
-      Multimodal.metaSummary(Multimodal.synthMedia(s, 1000L)))
+      Multimodal.metaSummary(mediaTable(s)))
   )
+
+  /** Deterministic synthetic media table, materialized ONCE to a fixed
+    * parquet path so the DuckDB oracle can read the identical bytes
+    * (the generator is pure expressions — content is identical across
+    * runs, so the write is idempotent).
+    */
+  private val mediaPath = "/root/repo/target/graft_media_1000"
+
+  private def mediaTable(s: SparkSession): DataFrame = {
+    if (!new java.io.File(s"$mediaPath/_SUCCESS").exists())
+      Multimodal.synthMedia(s, 1000L).write.mode("overwrite").parquet(mediaPath)
+    s.read.parquet(mediaPath)
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_validate_documents" -> docViolationsSql,
@@ -500,6 +513,21 @@ object SparkEntry {
         |   ELSE list_dot_product(a.v, b.v) /
         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) END AS c
         | FROM e a JOIN e b ON a.vec_id < b.vec_id)
-        |SELECT id_a, id_b, round(c, 6) AS cos_sim FROM p WHERE c >= 0.35""".stripMargin
+        |SELECT id_a, id_b, round(c, 6) AS cos_sim FROM p WHERE c >= 0.35""".stripMargin,
+
+    // --- multimodal ----------------------------------------------------
+    // Reads the SAME materialized parquet as the Spark query (fixed
+    // path, deterministic content). DuckDB 1.0 sha256 is VARCHAR-only,
+    // so distinct-content is counted on the raw BLOB — equal to Spark's
+    // countDistinct(sha2(bytes, 256)) since sha256 is injective on this
+    // data (collision would also fail the n_distinct compare).
+    "q_multimodal_meta" ->
+      s"""SELECT kind, count(*) AS n_media,
+         | CAST(sum(octet_length(bytes)) AS BIGINT) AS total_bytes,
+         | CAST(min(octet_length(bytes)) AS INT) AS min_bytes,
+         | CAST(max(octet_length(bytes)) AS INT) AS max_bytes,
+         | count(DISTINCT bytes) AS n_distinct
+         |FROM read_parquet('$mediaPath/*.parquet')
+         |GROUP BY kind""".stripMargin
   )
 }

@@ -1,20 +1,24 @@
 package graft.dedup
 
 import graft.text.TextAnalysis
+import graft.util.CacheScope
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for training-data pipelines, four tiers:
   *
-  *   1. [[exactSummary]] / [[exactDedup]] — exact dedup by content hash
-  *      (single hash-aggregate; map-side partial combine, no window).
+  *   1. [[exactSummary]] / [[exactDuplicates]] — exact dedup summary by
+  *      content hash (single hash-aggregate; map-side partial combine,
+  *      no window); [[exactDedup]] additionally picks a deterministic
+  *      min-id survivor row via a window over the hash.
   *   2. [[jaccardPairs]] — exact n-gram Jaccard on candidate pairs found
   *      via an inverted shingle index (explode → self-join on shingle).
   *   3. [[minHashSignatures]] / [[minHashNearDuplicates]] — MinHash +
   *      banded LSH: shingle → k min-hashes → b bands → bucket join.
   *   4. [[simHash]] / [[simHashNearDuplicates]] — 64-bit SimHash with
-  *      pigeonhole chunk-join candidate generation + Hamming filter.
+  *      pigeonhole chunk-join candidate generation (maxHamming+1
+  *      chunks) + Hamming filter.
   *
   * Scale design (100 TB):
   *   - Exact dedup is one shuffle on a 32-byte hash — the optimizer's
@@ -28,18 +32,20 @@ import org.apache.spark.sql.functions._
   *     constant-size state per key (k longs), no driver involvement.
   *   - SimHash needs no pairwise work to build: 64 conditional sums in a
   *     single aggregate; candidate pairs come from equality joins on
-  *     16-bit chunks (pigeonhole: Hamming ≤ 3 ⇒ ≥ 1 of 4 chunks equal).
+  *     disjoint bit chunks (pigeonhole: Hamming ≤ h ⇒ ≥ 1 of h+1 chunks
+  *     equal, so the chunk count is derived from the radius).
   *
   * Semantics grounding: hash-then-compare equality at reference
   * rust/src/lib.rs:161-172; report-every-duplicate (not first-found)
   * mirrors the all-errors accumulation at app/.../HomeScreen.kt:785-789.
   *
   * Cache lifetime: the pairwise-mining functions persist their exploded
-  * index/signature frames internally (each is consumed by a hot-key
-  * aggregate AND the join sides). The returned frames stay lazy, so the
-  * caches cannot be unpersisted here — callers running many mining jobs
-  * in one session should `spark.catalog.clearCache()` between them, or
-  * at real scale write the index/signature tables out once instead.
+  * index/signature frames (each is consumed by a hot-key aggregate AND
+  * the join sides). The returned frames stay lazy, so the caches cannot
+  * be unpersisted here — every miner therefore registers its persists in
+  * a caller-owned [[graft.util.CacheScope]]; call `scope.release()` once
+  * the result is consumed (at real scale: write the index/signature
+  * tables out once instead).
   */
 object Dedup {
 
@@ -104,7 +110,8 @@ object Dedup {
     * removed — the scan-cost cap for every pairwise candidate join.
     */
   private def shingleIndex(
-      df: DataFrame, idCol: String, textCol: String, n: Int, maxDf: Int): DataFrame = {
+      df: DataFrame, idCol: String, textCol: String, n: Int, maxDf: Int,
+      scope: CacheScope): DataFrame = {
     val idx = df
       .where(col(textCol).isNotNull)
       .select(col(idCol).as("id"),
@@ -118,7 +125,7 @@ object Dedup {
     // The index feeds the hot-list aggregate, both pair-join sides, and
     // the size aggregate — persist so the explode runs once (at real
     // scale: write the inverted index out once instead).
-    val cached = idx.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cached = scope.cache(idx)
     val hot = cached.groupBy(col("shingle"))
       .agg(count(lit(1)).as("__df"))
       .where(col("__df") > maxDf)
@@ -144,8 +151,9 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       maxDf: Int = 100,
-      minJaccard: Double = 0.5): DataFrame = {
-    val idx = shingleIndex(df, idCol, textCol, n, maxDf)
+      minJaccard: Double = 0.5,
+      scope: CacheScope = CacheScope.shared): DataFrame = {
+    val idx = shingleIndex(df, idCol, textCol, n, maxDf, scope)
     val sizes = idx.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val a = idx.select(col("id").as("id_a"), col("shingle"))
     val b = idx.select(col("id").as("id_b"), col("shingle"))
@@ -219,9 +227,9 @@ object Dedup {
     * the dropped mass is reported via the `lsh_bucket_overflow` counter
     * column of [[lshBucketStats]]).
     */
-  def lshCandidates(signatures: DataFrame, bands: Int, maxBucket: Int = 1000): DataFrame = {
-    val banded = bandedBuckets(signatures, bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  def lshCandidates(signatures: DataFrame, bands: Int, maxBucket: Int = 1000,
+      scope: CacheScope = CacheScope.shared): DataFrame = {
+    val banded = scope.cache(bandedBuckets(signatures, bands))
     // Oversized-bucket cap: aggregate + broadcast anti-join (hot-bucket
     // list is tiny); avoids sorting the banded index as a window would.
     val hot = banded.groupBy(col("band"), col("bucket"))
@@ -279,7 +287,8 @@ object Dedup {
       bands: Int = 16,
       shingleN: Int = 8,
       minEstJaccard: Double = 0.7,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000,
+      scope: CacheScope = CacheScope.shared): DataFrame = {
     require(k % bands == 0 && bands <= k,
       s"signature length k=$k must be a positive multiple of bands=$bands " +
         "(banded LSH needs equal-size bands; a remainder would silently " +
@@ -287,9 +296,8 @@ object Dedup {
     // The signature frame feeds band hashing AND both verification
     // joins — persist it so the shingle explode + k-min aggregate runs
     // once, not three times (at scale: checkpoint/write signatures).
-    val sigs = minHashSignatures(df, idCol, textCol, k, shingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = lshCandidates(sigs, bands, maxBucket)
+    val sigs = scope.cache(minHashSignatures(df, idCol, textCol, k, shingleN))
+    val cands = lshCandidates(sigs, bands, maxBucket, scope)
     cands
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
@@ -353,24 +361,41 @@ object Dedup {
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** Near-duplicate pairs with Hamming(simhash) ≤ maxHamming, candidates
-    * via the 4×16-bit pigeonhole chunk join (exact recall for
-    * maxHamming ≤ 3; for larger radii increase chunks).
+    * via a pigeonhole chunk join: the 64 bits are split into
+    * `maxHamming + 1` disjoint chunks, so every pair within the radius
+    * shares at least one exact chunk — exact recall at ANY configured
+    * radius (the chunk count is derived, never assumed).
     */
   def simHashNearDuplicates(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000,
+      scope: CacheScope = CacheScope.shared): DataFrame = {
+    // Pigeonhole: with the 64 bits split into `nChunks` disjoint chunks,
+    // Hamming ≤ nChunks-1 guarantees at least one chunk is EQUAL — so
+    // exact recall needs nChunks = maxHamming + 1 (advice r1: the old
+    // fixed 4-chunk join silently lost recall for maxHamming > 3).
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming=$maxHamming out of range 0..15 (chunks need >= 4 bits " +
+        "each to keep candidate buckets selective)")
+    val nChunks = maxHamming + 1
+    // Chunk c covers bits [c*64/nChunks, (c+1)*64/nChunks) — near-equal
+    // widths via integer boundary arithmetic.
+    val bounds = (0 to nChunks).map(c => c * 64 / nChunks)
+    val chunkExprs = (0 until nChunks).map { c =>
+      val lo = bounds(c)
+      val width = bounds(c + 1) - lo
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      shiftrightunsigned(col("simhash"), lo).bitwiseAND(lit(mask))
+    }
     val hashes = simHash(df, idCol, textCol)
     val chunked = hashes.select(
       col("id"), col("simhash"),
-      posexplode(
-        transform(sequence(lit(0), lit(3)), c =>
-          call_function("shiftrightunsigned", col("simhash"), lit(16) * c)
-            .bitwiseAND(lit(0xffffL)))))
+      posexplode(array(chunkExprs: _*)))
       .select(col("id"), col("simhash"), col("pos").as("chunk"), col("col").as("cval"))
-    val chunkedCached = chunked.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val chunkedCached = scope.cache(chunked)
     val hot = chunkedCached.groupBy(col("chunk"), col("cval"))
       .agg(count(lit(1)).as("__bsz"))
       .where(col("__bsz") > maxBucket)

@@ -149,10 +149,20 @@ case class HyperplaneBuckets(
     HyperplaneBuckets.compute(
       input.asInstanceOf[ArrayData], isFloat, planes, nTables, nPlanes, dim)
 
+  override def nullable: Boolean = true
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val planesRef = ctx.addReferenceObj("planes", planes, "double[]")
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.HyperplaneBuckets.compute($c, $isFloat, $planesRef, $nTables, $nPlanes, $dim)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value}_r =
+        graft.functions.HyperplaneBuckets.compute(
+          $c, $isFloat, $planesRef, $nTables, $nPlanes, $dim);
+      if (${ev.value}_r == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = ${ev.value}_r;
+      }
+    """)
   }
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
@@ -161,10 +171,19 @@ case class HyperplaneBuckets(
 
 object HyperplaneBuckets {
 
-  /** Static kernel (called from generated code — keep Java-callable). */
+  /** Static kernel (called from generated code — keep Java-callable).
+    * Returns null for malformed embeddings (wrong dimension or null
+    * elements), mirroring [[DotProduct]]'s null semantics — silently
+    * bucketing a truncated vector would be invisible recall loss.
+    */
   def compute(vec: ArrayData, vFloat: Boolean, planes: Array[Double],
       nTables: Int, nPlanes: Int, dim: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
-    val d = math.min(dim, vec.numElements())
+    if (vec.numElements() != dim) return null
+    var i = 0
+    while (i < dim) {
+      if (vec.isNullAt(i)) return null
+      i += 1
+    }
     val out = new Array[Long](nTables)
     var t = 0
     while (t < nTables) {
@@ -173,8 +192,8 @@ object HyperplaneBuckets {
       while (p < nPlanes) {
         val off = (t * nPlanes + p) * dim
         var acc = 0d
-        var i = 0
-        while (i < d) {
+        i = 0
+        while (i < dim) {
           val x = if (vFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
           acc += x * planes(off + i)
           i += 1

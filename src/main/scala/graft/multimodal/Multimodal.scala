@@ -99,13 +99,45 @@ object Multimodal {
         (col("pos") * everyMs).as("frame_ts_ms"))
   }
 
+  /** Total input bytes WITHOUT a full pass over the `bytes` column (at
+    * 100 TB that pre-scan would cost as much as the decode itself):
+    * file-backed frames use the scan's file-listing metadata
+    * (`HadoopFsRelation.location.sizeInBytes` — file sizes are ~the
+    * bytes column for a media table, and listing is metadata-only);
+    * computed/non-file frames fall back to avg-of-first-`sampleRows`
+    * × a metadata-cheap row count.
+    */
+  def estimateTotalBytes(
+      media: DataFrame,
+      bytesCol: String = "bytes",
+      sampleRows: Int = 1024): Long = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val leaves = media.queryExecution.optimizedPlan.collectLeaves()
+    val fileSizes = leaves.collect {
+      case l: LogicalRelation => l.relation
+    }.collect { case f: HadoopFsRelation => f.location.sizeInBytes }
+    if (fileSizes.nonEmpty && fileSizes.length == leaves.length) fileSizes.sum
+    else {
+      // Sample path: only `sampleRows` rows ever evaluate the bytes
+      // column; count() itself prunes it.
+      val avgLen = media
+        .select(length(col(bytesCol)).cast("double").as("__len"))
+        .limit(sampleRows)
+        .agg(avg(col("__len")))
+        .head()
+      val a = if (avgLen.isNullAt(0)) 0d else avgLen.getDouble(0)
+      math.ceil(a * media.count()).toLong
+    }
+  }
+
   /** Byte-budget repartitioning: decode tasks should be sized by input
-    * BYTES, not row count. Range-partition on a per-row running byte
-    * estimate is overkill; hash on media_id but choose the partition
-    * COUNT from total bytes / budget.
+    * BYTES, not row count (decode cost follows bytes; row-count
+    * partitioning skews on mixed media). Hash on media_id; the
+    * partition COUNT comes from estimated total bytes / budget — no
+    * extra job over the `bytes` column for file-backed tables.
     */
   def repartitionForDecode(media: DataFrame, bytesPerTask: Long): DataFrame = {
-    val totalBytes = media.agg(sum(length(col("bytes")))).head.getLong(0)
+    val totalBytes = estimateTotalBytes(media)
     val parts = math.max(1, math.ceil(totalBytes.toDouble / bytesPerTask).toInt)
     media.repartition(parts, col("media_id"))
   }

@@ -148,15 +148,17 @@ object Similarity {
     val qIdx = lshIndex(queries, idCol, vecCol, dim, nPlanes, nTables, seed)
       .select(col("id").as("q_id"), col("vec").as("q_vec"),
         norm(col("vec")).as("q_norm"), col("table"), col("bucket"))
-    val cands = cIdx.join(broadcast(qIdx), Seq("table", "bucket"))
-      .where(col("q_id") =!= col("id"))
-      .select(col("q_id"), col("q_vec"), col("q_norm"),
-        col("id").as("vec_id"), col("vec"), col("c_norm"))
-      .dropDuplicates("q_id", "vec_id")
+    // Cosine is computed BEFORE the pair-dedup so the dedup shuffle
+    // carries three scalars (~24 B/row), not two 64-float vectors; the
+    // per-bucket recompute is cheap (codegen'd dot) and the map-side
+    // partial max dedups most bucket collisions before the exchange.
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
-    cands
-      .select(col("q_id"), col("vec_id"),
+    cIdx.join(broadcast(qIdx), Seq("table", "bucket"))
+      .where(col("q_id") =!= col("id"))
+      .select(col("q_id"), col("id").as("vec_id"),
         cosineWithNorms(col("q_vec"), col("vec"), col("q_norm"), col("c_norm")).as("cos"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(max(col("cos")).as("cos")) // identical across buckets; max = any
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }
@@ -195,11 +197,16 @@ object Similarity {
       col("vec").as("vec_a"), col("nrm").as("norm_a"))
     val b = idx.select(col("table"), col("bucket"), col("id").as("id_b"),
       col("vec").as("vec_b"), col("nrm").as("norm_b"))
+    // Compute + threshold the cosine BEFORE the pair-dedup: the dedup
+    // shuffle then carries only qualifying (id_a, id_b, cos) scalar rows
+    // instead of full vector pairs (same result — cos is identical for
+    // every bucket occurrence of a pair).
     a.join(b, Seq("table", "bucket"))
       .where(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
         cosineWithNorms(col("vec_a"), col("vec_b"), col("norm_a"), col("norm_b")).as("cos"))
       .where(col("cos") >= minCosine)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("cos")).as("cos"))
   }
 }

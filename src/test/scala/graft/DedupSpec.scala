@@ -116,6 +116,44 @@ class DedupSpec extends SparkSpec {
     assert(pairs((1L, 2L)) === 0)
   }
 
+  test("simhash pigeonhole is exact at radius > 3 (chunk count derived from radius)") {
+    // 12 single-word variants of the same sentence: pairwise hamming
+    // spans 0..~20. The candidate join must find EXACTLY the pairs a
+    // brute-force hamming scan finds at the configured radius (the old
+    // fixed-4-chunk join silently lost recall past radius 3).
+    val df = docs((1L to 12L).map(i => i -> base.replace("dog", s"w$i")): _*)
+    val hashes = Dedup.simHash(df, "doc_id", "text").as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for (radius <- Seq(4, 6, 10)) {
+      val expected = (for {
+        a <- hashes.keys; b <- hashes.keys
+        if a < b && ham(hashes(a), hashes(b)) <= radius
+      } yield (a, b)).toSet
+      val got = Dedup.simHashNearDuplicates(df, "doc_id", "text", maxHamming = radius)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+      assert(got === expected, s"radius $radius")
+    }
+    assertThrows[IllegalArgumentException] {
+      Dedup.simHashNearDuplicates(df, "doc_id", "text", maxHamming = 16)
+    }
+  }
+
+  test("mining jobs leave no cached frames behind after scope release") {
+    val df = docs((1L to 50L).map(i => i -> s"$base unique token number $i here"): _*)
+    def persisted = spark.sparkContext.getPersistentRDDs.size
+    val before = persisted
+    graft.util.CacheScope.withScope { sc =>
+      Dedup.minHashNearDuplicates(df, "doc_id", "text", k = 64, bands = 16,
+        shingleN = 8, minEstJaccard = 0.5, scope = sc).count()
+      assert(persisted > before) // the job really did cache intermediates
+    }
+    assert(persisted === before)
+    graft.util.CacheScope.withScope { sc =>
+      Dedup.jaccardPairs(df, "doc_id", "text", scope = sc).count()
+    }
+    assert(persisted === before) // two consecutive jobs: zero cache growth
+  }
+
   test("lsh bucket stats report overflow accounting") {
     val df = docs((1L to 10L).map(i => i -> base): _*) // all identical
     val sigs = Dedup.minHashSignatures(df, "doc_id", "text", k = 64, shingleN = 8)

@@ -50,9 +50,31 @@ class MultimodalSpec extends SparkSpec {
 
   test("byte-budget repartitioning sizes partitions by bytes, not rows") {
     val total = media.agg(sum(length($"bytes"))).head().getLong(0)
+    // Computed (non-file) frame → sample-based estimate; 300 rows all
+    // fall inside the sample window so the estimate is ~exact.
+    val est = Multimodal.estimateTotalBytes(media)
+    assert(math.abs(est - total) <= total / 100)
     val repart = Multimodal.repartitionForDecode(media, bytesPerTask = 2048L)
-    val expected = math.ceil(total.toDouble / 2048L).toInt
+    val expected = math.ceil(est.toDouble / 2048L).toInt
     assert(repart.rdd.getNumPartitions === expected)
+    assert(expected > media.rdd.getNumPartitions / 4) // bytes, not rows, drive it
+  }
+
+  test("file-backed media estimates bytes from file metadata, not a bytes scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-media").toString
+    media.write.mode("overwrite").parquet(dir)
+    val onDisk = spark.read.parquet(dir)
+    val est = Multimodal.estimateTotalBytes(onDisk)
+    // File-listing total: ≥ the raw (incompressible sha-derived) bytes
+    // column, plus bounded parquet framing overhead.
+    val raw = media.agg(sum(length($"bytes"))).head().getLong(0)
+    assert(est >= raw)
+    assert(est <= raw * 4 + (1L << 20))
+    // Metadata path: the estimate must not launch any Spark job.
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    Multimodal.estimateTotalBytes(onDisk)
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after === before)
   }
 
   test("meta summary aggregates without re-reading bytes downstream") {

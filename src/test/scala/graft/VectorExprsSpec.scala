@@ -33,6 +33,24 @@ class VectorExprsSpec extends SparkSpec {
     }
   }
 
+  test("hyperplane buckets: wrong-dimension or null-element vectors bucket to null") {
+    // Silent truncation would assign arbitrary buckets to malformed
+    // embeddings (invisible recall loss); null drops them from the index.
+    val planes = Array.tabulate(2 * 3 * 4)(i => math.sin(i + 1))
+    val df = Seq(
+      (1L, Seq(1f, 2f, 3f, 4f)), // correct dim
+      (2L, Seq(1f, 2f)), // short
+      (3L, Seq(1f, 2f, 3f, 4f, 5f)) // long
+    ).toDF("id", "v")
+    val r = df.select($"id",
+        graft.functions.VectorExprs.hyperplaneBuckets($"v", planes, 2, 3, 4).as("b"))
+      .collect().map(x => x.getLong(0) -> x.isNullAt(1)).toMap
+    assert(r === Map(1L -> false, 2L -> true, 3L -> true))
+    // and a malformed vector contributes NO rows to the LSH index
+    val idx = Similarity.lshIndex(df, "id", "v", dim = 4, nPlanes = 3, nTables = 2)
+    assert(idx.select($"id").distinct().as[Long].collect().toSet === Set(1L))
+  }
+
   test("null propagation and empty arrays") {
     val df = Seq(
       (1L, Seq(1f, 2f), Seq(3f, 4f)),
