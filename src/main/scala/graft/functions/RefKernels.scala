@@ -80,6 +80,34 @@ object RefKernels {
       unhex(substring(hexStr, 3 + saltLen * 2 + ivLen * 2, 1000000000)).as("payload"))
   }
 
+  /** S5/O9 — length-dispatched decode with the LEGACY (versionless)
+    * fallback of reference rust/src/lib.rs:118-135: an envelope long
+    * enough to hold `[version][salt][iv][ct≥1]` parses as versioned
+    * (the version gate is the caller's rule, cf. V9); one that only
+    * fits `[salt][iv][ct≥1]` parses as the legacy layout starting at
+    * byte 0 with `version = null, legacy = true`; anything shorter is
+    * invalid data → null struct (the reference's InvalidData channel —
+    * violations are data, never exceptions).
+    */
+  def envelopeDecodeAuto(b64: Column, saltLen: Int, ivLen: Int): Column = {
+    val bin = unbase64(b64)
+    val hexStr = hex(bin)
+    val nBytes = length(bin)
+    def slices(offsetBytes: Int) = Seq(
+      unhex(substring(hexStr, offsetBytes * 2 + 1, saltLen * 2)).as("salt"),
+      unhex(substring(hexStr, offsetBytes * 2 + 1 + saltLen * 2, ivLen * 2)).as("iv"),
+      unhex(substring(hexStr, offsetBytes * 2 + 1 + (saltLen + ivLen) * 2, 1000000000))
+        .as("payload"))
+    val versioned = struct(
+      (conv(substring(hexStr, 1, 2), 16, 10).cast("int").as("version") +:
+        slices(1)) :+ lit(false).as("legacy"): _*)
+    val legacy = struct(
+      (lit(null).cast("int").as("version") +:
+        slices(0)) :+ lit(true).as("legacy"): _*)
+    when(nBytes >= 1 + saltLen + ivLen + 1, versioned)
+      .when(nBytes >= saltLen + ivLen + 1, legacy)
+  }
+
   /** F12 — numeric version-string compare (reference
     * app/.../HomeViewModel.kt:245-254): split on ".", compare numeric
     * parts left to right, longer-wins tiebreak. Returns -1/0/1.

@@ -26,6 +26,31 @@ object TableIO {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** S3 — raw text-file ingestion, one row per FILE: `(path, content)`
+    * (the reference reads a whole file from a content stream,
+    * app/.../HomeViewModel.kt:159-163). This is how a real repo
+    * checkout enters the engine as `(repo, path, commit, lang,
+    * content)` rows: read whole files, derive the key columns from the
+    * path, validate. `wholetext` keeps one row per file; Spark still
+    * parallelizes ACROSS files, which is the right granularity for
+    * source files (none of them is 100 GB).
+    */
+  def readText(spark: SparkSession, pathGlob: String): DataFrame =
+    spark.read
+      .option("wholetext", "true")
+      .text(pathGlob)
+      .select(input_file_name().as("path"), col("value").as("content"))
+
+  /** S3 — opaque binary ingestion via the binaryFile source:
+    * `(path, length, content: binary)` — the ingestion entry point for
+    * image/audio blobs (bytes stay opaque; see graft.multimodal).
+    */
+  def readBinary(spark: SparkSession, pathGlob: String): DataFrame =
+    spark.read
+      .format("binaryFile")
+      .load(pathGlob)
+      .select(col("path"), col("length"), col("content"))
+
   /** Schema-strict JSON read (reference S1 semantics). */
   def readJson(
       spark: SparkSession,

@@ -63,6 +63,47 @@ class RefKernelsSpec extends SparkSpec {
     assert(dec.getString(3) === "payload-bytes")
   }
 
+  test("envelope auto-decode: length-dispatched legacy fallback (rust/src/lib.rs:118-135)") {
+    val salt = "0123456789abcdef" // 16 B
+    val iv = "0123456789ab" // 12 B
+
+    // Versioned envelope → version parsed, legacy=false.
+    val v = Seq(Tuple1("payload-bytes")).toDF("p")
+      .select(RefKernels.envelopeEncode(1,
+        lit(salt).cast("binary"), lit(iv).cast("binary"), $"p".cast("binary")).as("b64"))
+      .select(RefKernels.envelopeDecodeAuto($"b64", 16, 12).as("e"))
+      .select($"e.version", $"e.legacy", $"e.salt".cast("string"),
+        $"e.payload".cast("string"))
+      .head()
+    assert(v.getInt(0) === 1)
+    assert(v.getBoolean(1) === false)
+    assert(v.getString(2) === salt)
+    assert(v.getString(3) === "payload-bytes")
+
+    // Legacy (versionless) envelope: the reference dispatches on LENGTH
+    // — the versionless branch only wins when the buffer is exactly too
+    // short for [version][salt][iv][ct≥1], i.e. salt+iv+1 bytes.
+    val l = Seq(Tuple1("x")).toDF("p")
+      .select(base64(concat(lit(salt).cast("binary"), lit(iv).cast("binary"),
+        lit("c").cast("binary"))).as("b64"))
+      .select(RefKernels.envelopeDecodeAuto($"b64", 16, 12).as("e"))
+      .select($"e.version", $"e.legacy", $"e.salt".cast("string"),
+        $"e.iv".cast("string"), $"e.payload".cast("string"))
+      .head()
+    assert(l.isNullAt(0)) // no version byte in the legacy layout
+    assert(l.getBoolean(1) === true)
+    assert(l.getString(2) === salt)
+    assert(l.getString(3) === iv)
+    assert(l.getString(4) === "c")
+
+    // Too short for either layout → null struct (InvalidData channel).
+    val bad = Seq(Tuple1("too-short")).toDF("p")
+      .select(base64($"p".cast("binary")).as("b64"))
+      .select(RefKernels.envelopeDecodeAuto($"b64", 16, 12).as("e"))
+      .head()
+    assert(bad.isNullAt(0))
+  }
+
   test("version compare: numeric, not lexicographic; longer wins ties") {
     val cases = Seq(
       ("1.2.3", "1.2.3", 0),

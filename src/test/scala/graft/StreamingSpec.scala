@@ -36,6 +36,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(direct).isEmpty && direct.exceptAll(streamed).isEmpty)
   }
 
+  test("verdict sink: foreachBatch publishes through the manifest commit protocol (ST3)") {
+    val src = Files.createTempDirectory("graft-stream-src3").toString
+    val out = Files.createTempDirectory("graft-stream-out").toString
+    val batch = spark.read.parquet(sf("sf0.001") + "/events.parquet")
+    batch.write.mode("overwrite").parquet(src)
+
+    val stream = spark.readStream.schema(batch.schema).parquet(src)
+    val q = StreamingValidator.verdictSink(stream, evSchema, "event_type", out,
+      trigger = Trigger.AvailableNow())
+    q.awaitTermination(60000)
+
+    // Verdicts written per micro-batch equal the batch rollup...
+    val direct = graft.verdict.Verdict.compute(batch, evSchema, "event_type")
+    val written = spark.read.parquet(s"$out/verdicts").drop("run_id")
+    assert(written.exceptAll(direct).isEmpty && direct.exceptAll(written).isEmpty)
+
+    // ...and every partition's verdict is manifest-committed with
+    // per-batch lineage.
+    val manifest = graft.resume.Checkpoint.processed(spark, out).collect()
+    assert(manifest.nonEmpty)
+    assert(manifest.forall(_.getAs[String]("run_id").startsWith("batch-")))
+    val committedParts = manifest.map(_.getAs[String]("partition")).toSet
+    val expectedParts = batch.select("event_type").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(committedParts === expectedParts)
+  }
+
   test("windowed verdicts roll up violation counts per tumbling window") {
     val src = Files.createTempDirectory("graft-stream-src2").toString
     val batch = spark.read.parquet(sf("sf0.001") + "/events.parquet")

@@ -38,6 +38,39 @@ class TableIOSpec extends SparkSpec {
     assert(back === Set((1L, "a"), (2L, "b")))
   }
 
+  test("raw file ingestion: whole-file text rows feed the validator (S3)") {
+    val dir = Files.createTempDirectory("graft-raw").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "Good.scala"),
+      "object Good { val answer = 42 } // a perfectly reasonable file")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "bad.scala"), "x")
+
+    val files = TableIO.readText(spark, s"$dir/*.scala")
+    assert(files.columns.toSeq === Seq("path", "content"))
+    assert(files.count() === 2)
+
+    // The ingested rows validate like any other code-file table.
+    val schema = graft.schema.Schema.of(
+      "path" -> graft.schema.FieldSpec(required = true, regex = Some(".*\\.scala")),
+      "content" -> graft.schema.FieldSpec(
+        required = true, notEmpty = true, minLength = Some(10)))
+    val v = graft.validate.Validator.violations(files, schema, Seq("path"))
+      .collect()
+      .map(r => (r.getAs[String]("path").split('/').last, r.getAs[String]("rule")))
+    assert(v.toSet === Set(("bad.scala", "minlength")))
+  }
+
+  test("raw binary ingestion: (path, length, content) via binaryFile source") {
+    val dir = Files.createTempDirectory("graft-bin").toString
+    val payload = Array[Byte](0, 1, 2, -1, 127)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "blob.bin"), payload)
+    val r = TableIO.readBinary(spark, s"$dir/*.bin").head()
+    assert(r.getAs[String]("path").endsWith("blob.bin"))
+    assert(r.getAs[Long]("length") === payload.length.toLong)
+    assert(r.getAs[Array[Byte]]("content").toSeq === payload.toSeq)
+  }
+
   test("partitioned write + dynamic overwrite is idempotent per partition") {
     val out = Files.createTempDirectory("graft-part").toString + "/t"
     val df = Seq((1L, "en"), (2L, "de"), (3L, "en")).toDF("id", "lang")
