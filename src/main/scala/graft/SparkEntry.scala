@@ -128,6 +128,9 @@ object SparkEntry {
       Validator.violations(docs(s, dir), docSchema, Seq("doc_id"))),
     "q_verdict_documents" -> ((s, dir) =>
       Verdict.compute(docs(s, dir), docSchema, "lang")),
+    "q_verdict_rollup_documents" -> ((s, dir) =>
+      // Per-lang + grand-total verdicts in ONE pass (ROLLUP).
+      Verdict.computeRollup(docs(s, dir), docSchema, "lang")),
     "q_stats_lineitem" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
         .groupBy(col("l_returnflag"))
@@ -175,6 +178,30 @@ object SparkEntry {
     "q_drift_documents" -> ((s, dir) =>
       Drift.againstGlobal(docs(s, dir), "n_chars", Seq("lang"),
         nBins = 20, lo = 0d, hi = 600d)),
+    "q_asof_events" -> ((s, dir) => {
+      // Point-in-time join: each click sees the user's most recent
+      // purchase value at-or-before its timestamp (never the future).
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .where(col("ts").isNotNull)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("purchase_value"))
+      graft.temporal.Temporal.asofJoin(clicks, purchases,
+        Seq("user_id"), "ts", "ts", Seq("purchase_value"))
+    }),
+    "q_sessions_events" -> ((s, dir) => {
+      // Gap-based sessionization (1 h inactivity gap) + per-session
+      // rollup — the unit a session-level pipeline samples/dedups on.
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .where(col("ts").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.temporal.Temporal.sessionSummary(ev, "user_id", "ts",
+        gapSeconds = 3600L, tieBreak = Seq("event_id"))
+    }),
     "q_drift_events" -> ((s, dir) => {
       val ev = s.read.parquet(s"$dir/events.parquet")
       Drift.compare(
@@ -296,6 +323,49 @@ object SparkEntry {
          |       ${docViolationCountSql(Set("error", "fatal"))} AS e
          |      FROM $docsXSql)
          |GROUP BY lang""".stripMargin,
+    "q_verdict_rollup_documents" ->
+      s"""SELECT lang, CAST(GROUPING(lang) AS INT) AS is_total,
+         | count(*) AS n_rows,
+         | CAST(SUM(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_rows,
+         | CAST(SUM(v) AS BIGINT) AS n_violations,
+         | CAST(SUM(w) AS BIGINT) AS n_warnings,
+         | CAST(SUM(e) AS BIGINT) AS n_errors,
+         | CASE WHEN SUM(e) > 0 THEN 'error'
+         |      WHEN SUM(w) > 0 THEN 'warning'
+         |      ELSE NULL END AS worst_severity,
+         | SUM(e) = 0 AS pass
+         |FROM (SELECT lang,
+         |       ${docViolationCountSql(Set("warning", "error", "fatal"))} AS v,
+         |       ${docViolationCountSql(Set("warning"))} AS w,
+         |       ${docViolationCountSql(Set("error", "fatal"))} AS e
+         |      FROM $docsXSql)
+         |GROUP BY ROLLUP(lang)""".stripMargin,
+    "q_asof_events" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click' AND ts IS NOT NULL),
+        |r AS (
+        |  SELECT user_id, ts, max(value) AS purchase_value FROM events
+        |  WHERE event_type = 'purchase' AND ts IS NOT NULL GROUP BY 1, 2)
+        |SELECT l.user_id, l.event_id, l.ts, r.purchase_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    "q_sessions_events" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |   CASE WHEN lag(ts) OVER w IS NULL
+        |     OR date_diff('second', lag(ts) OVER w, ts) > 3600 THEN 1 ELSE 0 END AS is_new
+        |  FROM events WHERE ts IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |x AS (
+        |  SELECT user_id, ts,
+        |   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM e)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        | count(*) AS n_events, min(ts) AS start_ts, max(ts) AS end_ts,
+        | CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_s
+        |FROM x GROUP BY 1, 2""".stripMargin,
     "q_stats_lineitem" ->
       """SELECT l_returnflag, count(*) AS n_rows,
         | min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,

@@ -41,4 +41,28 @@ object Verdict {
         RuleCompiler.severityName(max(col("__worst"))).as("worst_severity"),
         (sum(col("__n_err").cast("long")) === 0L).as("pass")
       )
+
+  /** Rollup verdicts: every per-partition row PLUS the grand-total row
+    * from ONE pass (`ROLLUP` reuses the partial aggregates — no second
+    * scan of the input). `is_total = 1` marks the total row;
+    * `grouping()` keeps it distinguishable from a genuinely-null
+    * partition value.
+    */
+  def computeRollup(df: DataFrame, schema: Schema, partitionCol: String): DataFrame =
+    Validator
+      .annotate(df, schema)
+      .withColumn("__n_err", RuleCompiler.errorCount(schema))
+      .withColumn("__n_warn", RuleCompiler.warningCount(schema))
+      .withColumn("__worst", RuleCompiler.worstSeverityRank(schema))
+      .rollup(col(partitionCol))
+      .agg(
+        grouping(col(partitionCol)).cast("int").as("is_total"),
+        count(lit(1)).as("n_rows"),
+        sum(when(col("n_violations") > 0, 1L).otherwise(0L)).as("n_bad_rows"),
+        sum(col("n_violations").cast("long")).as("n_violations"),
+        sum(col("__n_warn").cast("long")).as("n_warnings"),
+        sum(col("__n_err").cast("long")).as("n_errors"),
+        RuleCompiler.severityName(max(col("__worst"))).as("worst_severity"),
+        (sum(col("__n_err").cast("long")) === 0L).as("pass")
+      )
 }
