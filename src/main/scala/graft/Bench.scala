@@ -28,8 +28,15 @@ object Bench {
         finally graft.util.CacheScope.shared.release() // miners' internal frames
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    def esc(s: String) =
-      s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ").take(200)
+    // Truncate BEFORE escaping (truncating after could split an escape
+    // pair), and escape every control char — a tab or CR in a Spark
+    // error message must not invalidate the whole bench JSON line.
+    def esc(s: String) = s.take(200).flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(m)) => s"\"" + k + "\":\"" + esc(m) + "\"" }

@@ -295,9 +295,12 @@ object SparkEntry {
   /** Deterministic synthetic media table, materialized ONCE to a fixed
     * parquet path so the DuckDB oracle can read the identical bytes
     * (the generator is pure expressions — content is identical across
-    * runs, so the write is idempotent).
+    * runs, so the write is idempotent). Anchored to the working
+    * directory, not a hardcoded checkout location — the oracle SQL
+    * embeds whatever absolute path THIS run resolved.
     */
-  private val mediaPath = "/root/repo/target/graft_media_1000"
+  private val mediaPath =
+    new java.io.File("target/graft_media_1000").getAbsolutePath
 
   private def mediaTable(s: SparkSession): DataFrame = {
     if (!new java.io.File(s"$mediaPath/_SUCCESS").exists())

@@ -111,12 +111,23 @@ object Multimodal {
       media: DataFrame,
       bytesCol: String = "bytes",
       sampleRows: Int = 1024): Long = {
+    import org.apache.spark.sql.catalyst.plans.logical.Project
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-    val leaves = media.queryExecution.optimizedPlan.collectLeaves()
-    val fileSizes = leaves.collect {
+    // File-listing metadata is only an honest estimate when the frame IS
+    // the table (bare scan, possibly column-pruned): a filtered frame or
+    // a join would mis-size by the whole table's bytes. Anything
+    // non-trivial takes the sample path, which sees the actual frame.
+    val plan = media.queryExecution.optimizedPlan
+    val bareScan = plan.collect {
+      case p => p
+    }.forall {
+      case _: Project | _: LogicalRelation => true
+      case _ => false
+    }
+    val fileSizes = plan.collectLeaves().collect {
       case l: LogicalRelation => l.relation
     }.collect { case f: HadoopFsRelation => f.location.sizeInBytes }
-    if (fileSizes.nonEmpty && fileSizes.length == leaves.length) fileSizes.sum
+    if (bareScan && fileSizes.length == 1) fileSizes.sum
     else {
       // Sample path: only `sampleRows` rows ever evaluate the bytes
       // column; count() itself prunes it.

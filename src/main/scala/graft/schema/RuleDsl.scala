@@ -43,6 +43,18 @@ final case class FieldSpec(
     ruleSeverity: Map[String, String] = Map.empty
 ) {
   (severity +: ruleSeverity.values.toSeq).foreach(Severity.requireKnown)
+  // Keys too: a typo'd rule name would otherwise silently leave the rule
+  // on its default channel — the misconfiguration severities exist to
+  // prevent. Valid keys are the built-in rule vocabulary plus this
+  // field's custom check names.
+  private val knownRules = Set("required", "nullable", "empty", "type",
+    "regex", "allowed", "min", "max", "minlength", "maxlength",
+    "dependencies") ++ checks.map(_.rule)
+  ruleSeverity.keys.foreach { k =>
+    require(knownRules.contains(k),
+      s"ruleSeverity key '$k' names no rule of this field " +
+        s"(known: ${knownRules.toSeq.sorted.mkString(", ")})")
+  }
 }
 
 /** Violation severity channels — closed, ordered vocabulary mirroring
@@ -64,8 +76,6 @@ object Severity {
   def requireKnown(s: String): Unit =
     require(rank.contains(s),
       s"unknown severity '$s' (closed vocabulary: ${rank.keys.mkString(", ")})")
-
-  def ofRank(r: Int): Option[String] = rank.collectFirst { case (n, x) if x == r => n }
 }
 
 /** A named custom per-row invariant; `pass` maps the (normalized) field

@@ -32,7 +32,11 @@ object Temporal {
     *
     * Right rows must be unique per (key, ts) — pre-aggregate the right
     * side otherwise (which of several same-instant rows is "the" value
-    * is ambiguous in any as-of semantics).
+    * is ambiguous in any as-of semantics). Right rows with a null
+    * timestamp are dropped (a null instant can never be "at or before"
+    * anything — matching SQL ASOF semantics, where a null comparison
+    * never matches); left rows with a null timestamp come back with
+    * null value columns for the same reason.
     */
   def asofJoin(
       left: DataFrame,
@@ -45,7 +49,9 @@ object Temporal {
       left.columns.filterNot(c => keyCols.contains(c) || c == leftTs).toSeq
     val keyCs = keyCols.map(col)
     // origin: 0 = right (visible at equal ts), 1 = left.
-    val taggedRight = right.select(
+    // Null right timestamps would sort FIRST (nulls-first asc) and leak
+    // their value into every otherwise-unmatched left row — drop them.
+    val taggedRight = right.where(col(rightTs).isNotNull).select(
       keyCs ++ Seq(col(rightTs).as("__ts"), lit(0).as("__origin"),
         struct(valueCols.map(col): _*).as("__rval")) ++
         leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)

@@ -75,6 +75,14 @@ class MultimodalSpec extends SparkSpec {
     Multimodal.estimateTotalBytes(onDisk)
     val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
     assert(after === before)
+
+    // A FILTERED file-backed frame must NOT use whole-table file sizes —
+    // it falls to the sampling path and sees only the filtered bytes.
+    val filtered = onDisk.where($"kind" === "image")
+    val filteredRaw = filtered.agg(sum(length($"bytes"))).head().getLong(0)
+    val filteredEst = Multimodal.estimateTotalBytes(filtered)
+    assert(filteredEst <= filteredRaw + filteredRaw / 10)
+    assert(filteredEst < est) // strictly below the whole-table estimate
   }
 
   test("meta summary aggregates without re-reading bytes downstream") {

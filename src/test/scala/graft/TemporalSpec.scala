@@ -28,6 +28,16 @@ class TemporalSpec extends SparkSpec {
       1L -> Some(100.0), 2L -> Some(200.0), 3L -> None, 4L -> None))
   }
 
+  test("asof join: null right timestamps never match (no value leak)") {
+    val left = Seq((1L, "u1", ts("2024-01-01 09:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(("u1", null.asInstanceOf[java.sql.Timestamp], 100.0))
+      .toDF("user_id", "ts", "v")
+    val out = Temporal.asofJoin(left, right, Seq("user_id"), "ts", "ts", Seq("v"))
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.isNullAt(out.head.fieldIndex("v"))) // not 100.0
+  }
+
   test("sessionize: inactivity gap splits sessions; summary is exact") {
     val ev = Seq(
       ("u1", ts("2024-01-01 10:00:00"), 1L),

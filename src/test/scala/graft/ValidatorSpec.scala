@@ -187,4 +187,15 @@ class ValidatorSpec extends SparkSpec {
       CustomCheck("x", identity, severity = "mild")
     }
   }
+
+  test("severity: a typo'd ruleSeverity key is rejected, not silently ignored") {
+    assertThrows[IllegalArgumentException] {
+      FieldSpec(minLength = Some(3),
+        ruleSeverity = Map("minLen" -> graft.schema.Severity.Warning))
+    }
+    // custom check names are valid keys
+    FieldSpec(
+      checks = Seq(CustomCheck("check_sha256", identity)),
+      ruleSeverity = Map("check_sha256" -> graft.schema.Severity.Warning))
+  }
 }
