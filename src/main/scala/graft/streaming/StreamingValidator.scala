@@ -4,9 +4,9 @@ import graft.compile.RuleCompiler
 import graft.resume.Checkpoint
 import graft.schema.Schema
 import graft.verdict.Verdict
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery, Trigger}
 
 /** Structured-Streaming validation: the micro-batch analog of the
   * reference's fixed-interval recompute tick
@@ -19,6 +19,18 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * watermark.
   */
 object StreamingValidator {
+
+  /** Running per-key totals held in state (ST4). */
+  final case class KeyTotals(nRows: Long, nViolations: Long, nErrors: Long)
+
+  /** One output row per touched/expired key per micro-batch. */
+  final case class KeyVerdict(
+      key: String,
+      n_rows: Long,
+      n_violations: Long,
+      n_errors: Long,
+      pass: Boolean,
+      expired: Boolean)
 
   /** Stateless per-row validation: input stream + `n_violations`. */
   def annotate(stream: DataFrame, schema: Schema): DataFrame =
@@ -58,6 +70,68 @@ object StreamingValidator {
         sum(col("n_violations").cast("long")).as("n_violations"),
         // pass = no failing-channel (≥ error) violations, same as batch
         (sum(col("__n_err").cast("long")) === 0L).as("pass"))
+
+  /** ST4/ST6 — stateful keyed verdict view: maintains, per key, the
+    * RUNNING violation totals across micro-batches (the analog of the
+    * reference's keyed `otpCodes` view updated in place per tick,
+    * app/.../HomeViewModel.kt:46-47, 96-99), with optional
+    * processing-time TTL expiry (`ttlMs > 0`): a key idle longer than
+    * the TTL emits one final `expired = true` row and its state is
+    * dropped — the elapsed-time invalidation semantics of
+    * app/.../SecurityUtil.kt:78-98 (ST6), and the mechanism that keeps
+    * state bounded on an unbounded key space.
+    *
+    * Use from a streaming query with `outputMode("update")`. The
+    * transition function is [[updateKeyTotals]] — pure and unit-tested
+    * against `TestGroupState` (timeout path included).
+    */
+  def statefulKeyedVerdicts(
+      stream: DataFrame,
+      schema: Schema,
+      keyCol: String,
+      ttlMs: Long = 0L): Dataset[KeyVerdict] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val perRow = annotate(stream, schema)
+      .withColumn("__n_err", RuleCompiler.errorCount(schema))
+      .select(
+        coalesce(col(keyCol).cast("string"), lit("__NULL__")).as("key"),
+        col("n_violations").cast("long"),
+        col("__n_err").cast("long"))
+      .as[(String, Long, Long)]
+    val timeout =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    perRow
+      .groupByKey(_._1)
+      .mapGroupsWithState[KeyTotals, KeyVerdict](timeout) {
+        (key, rows, state) => updateKeyTotals(key, rows, state, ttlMs)
+      }
+  }
+
+  /** The ST4 state transition — kept separate so TestGroupState can
+    * drive it (including the timed-out branch) without a running query.
+    */
+  def updateKeyTotals(
+      key: String,
+      rows: Iterator[(String, Long, Long)],
+      state: GroupState[KeyTotals],
+      ttlMs: Long): KeyVerdict =
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      KeyVerdict(key, s.nRows, s.nViolations, s.nErrors,
+        pass = s.nErrors == 0, expired = true)
+    } else {
+      var n = 0L; var v = 0L; var e = 0L
+      rows.foreach { r => n += 1; v += r._2; e += r._3 }
+      val prev = state.getOption.getOrElse(KeyTotals(0L, 0L, 0L))
+      val next = KeyTotals(prev.nRows + n, prev.nViolations + v, prev.nErrors + e)
+      state.update(next)
+      if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+      KeyVerdict(key, next.nRows, next.nViolations, next.nErrors,
+        pass = next.nErrors == 0, expired = false)
+    }
 
   /** ST3 — batched verdict sink: each micro-batch runs the SAME batch
     * verdict rollup and publishes it through the [[Checkpoint]] commit

@@ -63,6 +63,56 @@ class StreamingSpec extends SparkSpec {
     assert(committedParts === expectedParts)
   }
 
+  test("stateful keyed view: transition function accumulates; TTL timeout emits final expired row (ST4/ST6)") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import StreamingValidator.{KeyTotals, updateKeyTotals}
+
+    val fresh = TestGroupState.create[KeyTotals](
+      Optional.empty(), GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long](), hasTimedOut = false)
+    val out1 = updateKeyTotals("k",
+      Iterator(("k", 2L, 1L), ("k", 0L, 0L)), fresh, ttlMs = 5000L)
+    assert(out1 === StreamingValidator.KeyVerdict("k", 2L, 2L, 1L, pass = false, expired = false))
+    assert(fresh.get === KeyTotals(2L, 2L, 1L))
+
+    val carried = TestGroupState.create[KeyTotals](
+      Optional.of(fresh.get), GroupStateTimeout.ProcessingTimeTimeout,
+      2000L, Optional.empty[Long](), hasTimedOut = false)
+    val out2 = updateKeyTotals("k", Iterator(("k", 1L, 0L)), carried, 5000L)
+    assert(out2.n_rows === 3L && out2.n_violations === 3L && out2.n_errors === 1L)
+
+    val timedOut = TestGroupState.create[KeyTotals](
+      Optional.of(carried.get), GroupStateTimeout.ProcessingTimeTimeout,
+      99000L, Optional.empty[Long](), hasTimedOut = true)
+    val out3 = updateKeyTotals("k", Iterator.empty, timedOut, 5000L)
+    assert(out3.expired && out3.n_rows === 3L)
+    assert(!timedOut.exists) // state dropped — bounded on unbounded keys
+  }
+
+  test("stateful keyed view end-to-end: running totals across micro-batches (update mode)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String, Double)]
+    val df = input.toDF.toDF("event_id", "event_type", "value")
+    val q = StreamingValidator.statefulKeyedVerdicts(df, evSchema, "event_type")
+      .writeStream.format("memory").queryName("key_state")
+      .outputMode("update").start()
+    try {
+      input.addData((1L, "click", 10.0), (2L, "click", 999.0)) // 999 > max=400
+      q.processAllAvailable()
+      input.addData((3L, "click", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("key_state").collect()
+        .filter(_.getAs[String]("key") === "click")
+      val last = rows.maxBy(_.getAs[Long]("n_rows"))
+      assert(last.getAs[Long]("n_rows") === 3L)
+      assert(last.getAs[Long]("n_violations") === 1L)
+      assert(last.getAs[Boolean]("pass") === false)
+    } finally q.stop()
+  }
+
   test("windowed verdicts roll up violation counts per tumbling window") {
     val src = Files.createTempDirectory("graft-stream-src2").toString
     val batch = spark.read.parquet(sf("sf0.001") + "/events.parquet")
