@@ -154,6 +154,17 @@ object SparkEntry {
         groupCols = Seq("lang"), exact = false)
         .withColumnRenamed("column", "col_name")
         .select("lang", "col_name", "n_rows", "n_distinct")),
+    "q_quantiles_lineitem" -> ((s, dir) =>
+      // Exact interpolating percentile — oracle-parity path (DuckDB
+      // quantile_cont is the same type-7 interpolation); the 100 TB
+      // path is exact=false (approx_percentile sketch), accuracy pinned
+      // vs exact in StatsSpec.
+      ColumnStats.quantiles(
+          s.read.parquet(s"$dir/lineitem.parquet"),
+          "l_quantity", Seq("l_returnflag"),
+          qs = Seq(0.25, 0.5, 0.75, 0.95), exact = true)
+        .select(col("l_returnflag"), col("q"),
+          round(col("value"), 6).as("value"))),
     "q_unique_lineitem" -> ((s, dir) =>
       Uniqueness.summary(
         s.read.parquet(s"$dir/lineitem.parquet"),
@@ -384,6 +395,18 @@ object SparkEntry {
          | round(avg(length(CAST($c AS VARCHAR))), 4) AS avg_len
          |FROM documents GROUP BY lang""".stripMargin
     }.mkString(" UNION ALL "),
+    "q_quantiles_lineitem" ->
+      """WITH g AS (
+        | SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+        |  round(quantile_cont(l_quantity, 0.50), 6) AS q50,
+        |  round(quantile_cont(l_quantity, 0.75), 6) AS q75,
+        |  round(quantile_cont(l_quantity, 0.95), 6) AS q95
+        | FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, CAST(0.25 AS DOUBLE) AS q, q25 AS value FROM g
+        |UNION ALL SELECT l_returnflag, 0.50, q50 FROM g
+        |UNION ALL SELECT l_returnflag, 0.75, q75 FROM g
+        |UNION ALL SELECT l_returnflag, 0.95, q95 FROM g""".stripMargin,
     "q_unique_lineitem" ->
       """SELECT CAST(sum(n) AS BIGINT) AS n_rows, count(*) AS n_keys,
         | CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,

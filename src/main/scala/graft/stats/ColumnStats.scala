@@ -71,6 +71,42 @@ object ColumnStats {
       .select(g :+ col("s.*"): _*)
   }
 
+  /** Quantiles of a numeric column per group, long format:
+    * `(…groupCols, q, value)` — one row per requested quantile.
+    *
+    * `exact = false` (the 100 TB path) uses `approx_percentile`
+    * (Greenwald-Khanna sketch: fixed-size state, one pass, spill-safe);
+    * `exact = true` uses the exact interpolating `percentile` aggregate
+    * — it buffers per-group values, so it is the ORACLE-PARITY path for
+    * test scale only (DuckDB `quantile_cont` computes the same type-7
+    * linear interpolation). Accuracy of the approx path vs exact is
+    * pinned in StatsSpec.
+    */
+  def quantiles(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      qs: Seq[Double],
+      exact: Boolean = false,
+      accuracy: Int = 10000
+  ): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0d && q <= 1d),
+      s"quantiles must be in [0,1], got $qs")
+    val qArr = array(qs.map(lit): _*)
+    val values = (
+      if (exact) call_function("percentile", col(valueCol), qArr)
+      else percentile_approx(col(valueCol), qArr, lit(accuracy))
+    ).as("__vals")
+    val g = groupCols.map(col)
+    val grouped =
+      if (groupCols.isEmpty) df.agg(values)
+      else df.groupBy(g: _*).agg(values)
+    grouped
+      .select(g :+ posexplode(col("__vals")): _*)
+      .select(g :+ element_at(qArr, col("pos") + 1).as("q")
+        :+ col("col").cast("double").as("value"): _*)
+  }
+
   /** Value-length histogram per group: `(…groupCols, bin, n)` where
     * `bin = floor(length(col)/binWidth)`. Shared by drift detection.
     * Nulls are excluded (they're the null-rate stat's job).

@@ -29,6 +29,26 @@ class StatsSpec extends SparkSpec {
       "null_rate", "n_distinct", "min", "max", "avg_len"))
   }
 
+  test("quantiles: exact interpolates like the textbook formula; approx tracks exact") {
+    // 1..5 → p50 = 3, p25 = 2 (type-7 linear interpolation on a small set)
+    val df = Seq(1d, 2d, 3d, 4d, 5d).toDF("x").withColumn("g", lit("a"))
+    val exact = ColumnStats.quantiles(df, "x", Seq("g"), Seq(0.25, 0.5), exact = true)
+      .collect().map(r => r.getAs[Double]("q") -> r.getAs[Double]("value")).toMap
+    assert(exact(0.5) === 3d)
+    assert(exact(0.25) === 2d)
+
+    // Approx path (the 100 TB sketch) stays within 1 rank of exact on
+    // real data.
+    val li = spark.read.parquet(sf("sf0.01") + "/lineitem.parquet")
+    val e = ColumnStats.quantiles(li, "l_quantity", Nil, Seq(0.5, 0.95), exact = true)
+      .collect().map(r => r.getAs[Double]("q") -> r.getAs[Double]("value")).toMap
+    val a = ColumnStats.quantiles(li, "l_quantity", Nil, Seq(0.5, 0.95), exact = false)
+      .collect().map(r => r.getAs[Double]("q") -> r.getAs[Double]("value")).toMap
+    Seq(0.5, 0.95).foreach { q =>
+      assert(math.abs(a(q) - e(q)) <= 1d, s"q=$q approx=${a(q)} exact=${e(q)}")
+    }
+  }
+
   test("HLL distinct within rsd of exact on driver documents") {
     val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
     val approx = ColumnStats.compute(docs, Seq("text"), exact = false, rsd = 0.05)
