@@ -243,6 +243,16 @@ object SparkEntry {
       TextAnalysis.fingerprint(docs(s, dir), "text")
         .select(col("doc_id"), col("content_sha"), col("fp64"))),
 
+    "q_sample_documents" -> ((s, dir) =>
+      // Deterministic stratified downsampling (rebalance languages):
+      // keep/drop is a pure function of (doc_id, seed) → identical
+      // rows at any parallelism, rerun, or engine (md5-bucket based —
+      // the oracle recomputes it exactly in DuckDB).
+      graft.sample.Sampling.stratified(docs(s, dir), "doc_id", "lang",
+          rates = Map("en" -> 0.25, "zh" -> 0.5), defaultRate = 1.0)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"))),
+
     // --- training-data pipeline: deduplication -------------------------
     "q_dedup_exact_documents" -> ((s, dir) =>
       Dedup.exactSummary(docs(s, dir), "text")),
@@ -555,6 +565,15 @@ object SparkEntry {
         | sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_sha,
         | substring(sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16) AS fp64
         |FROM documents""".stripMargin,
+
+    "q_sample_documents" ->
+      """SELECT lang, count(*) AS n_kept FROM (
+        | SELECT lang,
+        |  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8) AS UBIGINT) % 1000000 AS b
+        | FROM documents)
+        |WHERE b < (CASE lang WHEN 'en' THEN 250000 WHEN 'zh' THEN 500000
+        |           ELSE 1000000 END)
+        |GROUP BY lang""".stripMargin,
 
     // --- deduplication -------------------------------------------------
     "q_dedup_exact_documents" ->

@@ -1,0 +1,60 @@
+package graft.sample
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * Unlike `df.sample()` (RNG per partition — result depends on
+  * partitioning and rerun), these samplers decide keep/drop as a PURE
+  * function of the row key + seed, so:
+  *   - reruns and different cluster sizes select the SAME rows
+  *     (resume-safe — the checkpoint protocol can re-run a partition
+  *     and get identical output);
+  *   - the sample is reproducible in any other engine from the same
+  *     key column (the DuckDB oracle recomputes it exactly);
+  *   - adding rows never flips the decision on existing rows.
+  *
+  * The uniform hash is the first 8 hex chars of `md5(key || ':' || seed)`
+  * mapped to a bucket in [0, 1e6) — plenty of resolution for per-mille
+  * rates, and a pure codegen'd projection (no shuffle, no state).
+  *
+  * Semantics grounding: the reference's only sampling-flavored code is
+  * seeded deterministic generation (SURVEY §2d F14); determinism-over-
+  * RNG is the same design rule applied to selection.
+  */
+object Sampling {
+
+  private val Buckets = 1000000L
+
+  /** Uniform bucket in [0, 1e6) as a pure function of (key, seed). */
+  def bucket(key: Column, seed: Long): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(":"), lit(seed))), 1, 8), 16, 10)
+      .cast("long") % Buckets
+
+  /** Keep each row with probability `rate`, decided by its key. */
+  def sampleByKey(df: DataFrame, keyCol: String, rate: Double, seed: Long = 42L): DataFrame = {
+    require(rate >= 0d && rate <= 1d, s"rate must be in [0,1], got $rate")
+    df.where(bucket(col(keyCol), seed) < lit((rate * Buckets).toLong))
+  }
+
+  /** Stratified sampling: per-stratum keep rates (e.g. downsample
+    * over-represented languages), `defaultRate` for unlisted strata.
+    * One codegen'd filter — no shuffle, no per-stratum pass.
+    */
+  def stratified(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 1.0,
+      seed: Long = 42L): DataFrame = {
+    (rates.values.toSeq :+ defaultRate).foreach(r =>
+      require(r >= 0d && r <= 1d, s"rates must be in [0,1], got $r"))
+    val rateCol = rates.foldLeft(lit((defaultRate * Buckets).toLong)) {
+      case (acc, (stratum, r)) =>
+        when(col(strataCol) === stratum, lit((r * Buckets).toLong)).otherwise(acc)
+    }
+    df.where(bucket(col(keyCol), seed) < rateCol)
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import graft.sample.Sampling
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+
+  test("sampleByKey: deterministic, parallelism-invariant, rate-accurate") {
+    val a = Sampling.sampleByKey(docs, "doc_id", 0.3)
+      .select($"doc_id").as[Long].collect().toSet
+    val b = Sampling.sampleByKey(docs.repartition(13), "doc_id", 0.3)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(a === b) // same rows at any partitioning
+    val n = docs.count().toDouble
+    assert(math.abs(a.size / n - 0.3) < 0.1) // within binomial noise at n=500
+    // nested property: a lower rate selects a SUBSET of a higher rate
+    // (bucket < threshold is monotone in the threshold)
+    val low = Sampling.sampleByKey(docs, "doc_id", 0.1)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(low.subsetOf(a))
+  }
+
+  test("stratified: per-stratum rates applied, unlisted strata kept at default") {
+    val out = Sampling.stratified(docs, "doc_id", "lang",
+        rates = Map("en" -> 0.25, "zh" -> 0.5), defaultRate = 1.0)
+      .groupBy($"lang").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val full = docs.groupBy($"lang").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    // unlisted strata fully kept
+    Seq("de", "es", "fr").foreach(l => assert(out(l) === full(l)))
+    // listed strata downsampled near their rate
+    assert(math.abs(out("en").toDouble / full("en") - 0.25) < 0.15)
+    assert(math.abs(out("zh").toDouble / full("zh") - 0.5) < 0.2)
+    // different seed → different selection, same determinism
+    val reseeded = Sampling.stratified(docs, "doc_id", "lang",
+        rates = Map("en" -> 0.25), seed = 7L)
+      .select($"doc_id").as[Long].collect().toSet
+    val original = Sampling.stratified(docs, "doc_id", "lang",
+        rates = Map("en" -> 0.25), seed = 42L)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(reseeded !== original)
+    assertThrows[IllegalArgumentException] {
+      Sampling.stratified(docs, "doc_id", "lang", rates = Map("en" -> 1.5))
+    }
+  }
+}
