@@ -81,6 +81,39 @@ object TableIO {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** Small-file compaction — the table-maintenance analog of Iceberg's
+    * `rewrite_data_files`: rewrite a parquet directory into
+    * `ceil(totalBytes / targetFileBytes)` files. Streaming sinks and
+    * per-partition commits accumulate small files; at 100 TB the
+    * file-open overhead and driver listing cost of millions of tiny
+    * files dominate scans, so compaction is a first-class maintenance
+    * op. Size comes from file-listing METADATA (no data scan before
+    * the rewrite itself).
+    *
+    * Not crash-atomic on a plain filesystem (write-temp → delete →
+    * rename): a real deployment runs it under the table format's
+    * snapshot swap — the engine's own outputs get the same protection
+    * from the [[graft.resume.Checkpoint]] manifest (readers resolve
+    * committed data through the manifest, not directory listing).
+    * Returns the new file count.
+    */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      targetFileBytes: Long = 128L << 20): Int = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(hPath).getLength
+    val parts = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact-tmp")
+    spark.read.parquet(path)
+      .repartition(parts)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(hPath, true)
+    require(fs.rename(tmp, hPath), s"compaction rename failed for $path")
+    parts
+  }
+
   /** Row-oriented JSON export of a whole table as one file — the
     * reference's snapshot-export shape (S2/S4: one serialized document;
     * app/.../SecurityUtil.kt:114-121). `coalesce(1)` is deliberate and

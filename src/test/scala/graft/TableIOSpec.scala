@@ -38,6 +38,21 @@ class TableIOSpec extends SparkSpec {
     assert(back === Set((1L, "a"), (2L, "b")))
   }
 
+  test("compact rewrites a many-file table into the byte-budgeted file count") {
+    val dir = Files.createTempDirectory("graft-compact").toString + "/t"
+    val df = spark.range(0L, 5000L, 1L, 20).toDF("id")
+    df.write.parquet(dir)
+    val before = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before === 20)
+    val n = TableIO.compact(spark, dir, targetFileBytes = 1L << 30)
+    assert(n === 1)
+    val after = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after === 1)
+    // content identical
+    val back = spark.read.parquet(dir).as[Long].collect().sorted
+    assert(back.toSeq === (0L until 5000L))
+  }
+
   test("raw file ingestion: whole-file text rows feed the validator (S3)") {
     val dir = Files.createTempDirectory("graft-raw").toString
     java.nio.file.Files.writeString(
