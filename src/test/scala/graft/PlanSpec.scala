@@ -1,0 +1,97 @@
+package graft
+
+import graft.refint.RefIntegrity
+import graft.sim.Similarity
+import graft.validate.Validator
+import graft.verdict.Verdict
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.ArrayType
+
+/** Plan-SHAPE regression tests: the scale-critical physical-plan
+  * properties the dossier (PLANS.md) documents, asserted so they cannot
+  * silently regress. These inspect the pre-adaptive physical plan —
+  * shape, not timings, so they are deterministic at any data size.
+  */
+class PlanSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+  private lazy val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+
+  /** Final physical plan with exchanges inserted (EnsureRequirements
+    * runs in executedPlan, not sparkPlan); AQE is disabled for the
+    * planning call so the plan is a plain inspectable tree instead of
+    * an AdaptiveSparkPlan wrapper.
+    */
+  private def physical(df: DataFrame): SparkPlan = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try df.queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  private def shuffles(df: DataFrame): Seq[ShuffleExchangeExec] =
+    physical(df).collect { case s: ShuffleExchangeExec => s }
+
+  private val docSchema = graft.schema.Schema.of(
+    "text" -> graft.schema.FieldSpec(required = true, minLength = Some(10)),
+    "lang" -> graft.schema.FieldSpec(allowed = Some(Seq("en", "de"))))
+
+  test("per-row validation is shuffle-free (pure projection)") {
+    assert(shuffles(Validator.annotate(docs, docSchema)).isEmpty)
+    assert(shuffles(Validator.violations(docs, docSchema, Seq("doc_id"))).isEmpty)
+  }
+
+  test("verdict rollup is one exchange with map-side partial aggregation") {
+    val v = Verdict.compute(docs, docSchema, "lang")
+    assert(shuffles(v).length === 1)
+    assert(physical(v).toString.contains("partial_"))
+  }
+
+  test("referential integrity plans a broadcast LEFT ANTI join") {
+    val dim = spark.range(10).select(col("id").as("doc_id"))
+    val p = physical(RefIntegrity.summary(docs, dim, Seq("doc_id"))).toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"))
+  }
+
+  test("column pruning reaches the scan for narrow projections") {
+    val q = docs.select(col("doc_id"), length(col("text")).as("len"))
+    val scans = physical(q).toString
+    assert(scans.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    val q = docs.where(col("lang") === "en").select(col("doc_id"))
+    assert(physical(q).toString.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"))
+  }
+
+  test("minhash/simhash signature plans are shuffle-free (native single projection)") {
+    assert(shuffles(graft.dedup.Dedup.minHashSignatures(docs, "doc_id", "text")).isEmpty)
+    assert(shuffles(graft.dedup.Dedup.simHash(docs, "doc_id", "text")).isEmpty)
+  }
+
+  test("LSH pair-mining shuffles carry scalar columns only, never embedding vectors") {
+    val pairs = Similarity.nearDupPairsLsh(emb, "vec_id", "embedding",
+      dim = 64, minCosine = 0.4, nPlanes = 6, nTables = 4)
+    val topk = Similarity.annTopK(emb, emb.where(col("vec_id") < 5), "vec_id",
+      "embedding", dim = 64, k = 5, nPlanes = 4, nTables = 4)
+    Seq(pairs, topk).foreach { df =>
+      val ex = shuffles(df)
+      assert(ex.nonEmpty)
+      ex.foreach { s =>
+        val arrayCols = s.child.output.filter(_.dataType.isInstanceOf[ArrayType])
+        assert(arrayCols.isEmpty,
+          s"shuffle carries array columns: ${arrayCols.map(_.name).mkString(",")}")
+      }
+    }
+  }
+
+  test("brute-force top-k broadcasts the query side and partially limits per partition") {
+    val p = physical(Similarity.bruteForceTopK(
+      emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 5)).toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(p.contains("WindowGroupLimit"))
+  }
+}
