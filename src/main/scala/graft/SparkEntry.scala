@@ -569,7 +569,7 @@ object SparkEntry {
     "q_sample_documents" ->
       """SELECT lang, count(*) AS n_kept FROM (
         | SELECT lang,
-        |  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8) AS UBIGINT) % 1000000 AS b
+        |  CAST('0x' || substring(md5(coalesce(CAST(doc_id AS VARCHAR), '__NULL_KEY__') || ':42'), 1, 8) AS UBIGINT) % 1000000 AS b
         | FROM documents)
         |WHERE b < (CASE lang WHEN 'en' THEN 250000 WHEN 'zh' THEN 500000
         |           ELSE 1000000 END)

@@ -27,15 +27,28 @@ object Sampling {
 
   private val Buckets = 1000000L
 
-  /** Uniform bucket in [0, 1e6) as a pure function of (key, seed). */
+  /** Rate → bucket threshold; ROUNDED, not truncated — `(0.3 * 1e6)
+    * .toLong` would be 299999 (binary representation of 0.3) and any
+    * oracle computing the natural `round(rate * 1e6)` would select a
+    * different row set.
+    */
+  private def threshold(rate: Double): Long = math.round(rate * Buckets)
+
+  /** Uniform bucket in [0, 1e6) as a pure function of (key, seed).
+    * Null keys hash the `__NULL_KEY__` sentinel (so they get a
+    * deterministic decision like every other row, instead of being
+    * silently dropped by null propagation through concat).
+    */
   def bucket(key: Column, seed: Long): Column =
-    conv(substring(md5(concat(key.cast("string"), lit(":"), lit(seed))), 1, 8), 16, 10)
+    conv(substring(md5(concat(
+      coalesce(key.cast("string"), lit("__NULL_KEY__")),
+      lit(":"), lit(seed))), 1, 8), 16, 10)
       .cast("long") % Buckets
 
   /** Keep each row with probability `rate`, decided by its key. */
   def sampleByKey(df: DataFrame, keyCol: String, rate: Double, seed: Long = 42L): DataFrame = {
     require(rate >= 0d && rate <= 1d, s"rate must be in [0,1], got $rate")
-    df.where(bucket(col(keyCol), seed) < lit((rate * Buckets).toLong))
+    df.where(bucket(col(keyCol), seed) < lit(threshold(rate)))
   }
 
   /** Stratified sampling: per-stratum keep rates (e.g. downsample
@@ -51,9 +64,9 @@ object Sampling {
       seed: Long = 42L): DataFrame = {
     (rates.values.toSeq :+ defaultRate).foreach(r =>
       require(r >= 0d && r <= 1d, s"rates must be in [0,1], got $r"))
-    val rateCol = rates.foldLeft(lit((defaultRate * Buckets).toLong)) {
+    val rateCol = rates.foldLeft(lit(threshold(defaultRate))) {
       case (acc, (stratum, r)) =>
-        when(col(strataCol) === stratum, lit((r * Buckets).toLong)).otherwise(acc)
+        when(col(strataCol) === stratum, lit(threshold(r))).otherwise(acc)
     }
     df.where(bucket(col(keyCol), seed) < rateCol)
   }

@@ -105,13 +105,51 @@ object TableIO {
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val totalBytes = fs.getContentSummary(hPath).getLength
     val parts = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val tmp = new org.apache.hadoop.fs.Path(path + ".compact-tmp")
-    spark.read.parquet(path)
-      .repartition(parts)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // Temp dir from the NORMALIZED path — raw string concat on a
+    // trailing-slash input would nest the temp INSIDE the table and the
+    // recursive delete below would destroy both copies.
+    val tmp = new org.apache.hadoop.fs.Path(
+      hPath.getParent, hPath.getName + ".compact-tmp")
+    // Hive-partitioned layouts (dir names like lang=en) must keep their
+    // directory structure: flattening would break partition pruning and
+    // poison later dynamic partition overwrites with stale flat files.
+    val partitionCols = hivePartitionColumns(fs, hPath)
+    val df = spark.read.parquet(path)
+    val writer =
+      if (partitionCols.isEmpty)
+        // coalesce: narrow merge of small files, no shuffle.
+        df.coalesce(parts).write
+      else
+        // colocate each partition value in one task (one file each);
+        // the shuffle is the price of preserving the layout.
+        df.repartition(parts, partitionCols.map(col): _*)
+          .write.partitionBy(partitionCols: _*)
+    writer.mode(SaveMode.Overwrite).parquet(tmp.toString)
     fs.delete(hPath, true)
     require(fs.rename(tmp, hPath), s"compaction rename failed for $path")
     parts
+  }
+
+  /** Hive-style partition column names from the directory layout
+    * (`a=1/b=2/part-…`), walking one branch — metadata-only.
+    */
+  private def hivePartitionColumns(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var dir = root
+    var found = true
+    while (found) {
+      found = false
+      val subdirs = fs.listStatus(dir).filter(_.isDirectory)
+        .filter(_.getPath.getName.contains("="))
+      subdirs.headOption.foreach { s =>
+        out += s.getPath.getName.split("=", 2)(0)
+        dir = s.getPath
+        found = true
+      }
+    }
+    out.toSeq
   }
 
   /** Row-oriented JSON export of a whole table as one file — the

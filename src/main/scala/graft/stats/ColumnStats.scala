@@ -93,18 +93,24 @@ object ColumnStats {
     require(qs.nonEmpty && qs.forall(q => q >= 0d && q <= 1d),
       s"quantiles must be in [0,1], got $qs")
     val qArr = array(qs.map(lit): _*)
-    val values = (
+    val agg =
       if (exact) call_function("percentile", col(valueCol), qArr)
       else percentile_approx(col(valueCol), qArr, lit(accuracy))
-    ).as("__vals")
+    // An all-null group aggregates to a NULL array; exploding that
+    // would DROP the group (SQL oracles keep it with null values) —
+    // substitute an array of nulls so every group emits |qs| rows.
+    val nullVals = array(qs.map(_ => lit(null).cast("double")): _*)
+    val values = coalesce(agg.cast("array<double>"), nullVals).as("__vals")
     val g = groupCols.map(col)
     val grouped =
       if (groupCols.isEmpty) df.agg(values)
       else df.groupBy(g: _*).agg(values)
     grouped
-      .select(g :+ posexplode(col("__vals")): _*)
-      .select(g :+ element_at(qArr, col("pos") + 1).as("q")
-        :+ col("col").cast("double").as("value"): _*)
+      // explode outputs get reserved names — a group column named
+      // `pos`/`col` must not collide
+      .select(g :+ posexplode(col("__vals")).as(Seq("__q_pos", "__q_val")): _*)
+      .select(g :+ element_at(qArr, col("__q_pos") + 1).as("q")
+        :+ col("__q_val").as("value"): _*)
   }
 
   /** Value-length histogram per group: `(…groupCols, bin, n)` where

@@ -92,10 +92,13 @@ object StreamingValidator {
       ttlMs: Long = 0L): Dataset[KeyVerdict] = {
     val spark = stream.sparkSession
     import spark.implicits._
+    // Null keys group under the null String key directly — a sentinel
+    // string would collide with a genuine key of the same value and
+    // merge two keys' running state.
     val perRow = annotate(stream, schema)
       .withColumn("__n_err", RuleCompiler.errorCount(schema))
       .select(
-        coalesce(col(keyCol).cast("string"), lit("__NULL__")).as("key"),
+        col(keyCol).cast("string").as("key"),
         col("n_violations").cast("long"),
         col("__n_err").cast("long"))
       .as[(String, Long, Long)]

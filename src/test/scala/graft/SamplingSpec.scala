@@ -47,4 +47,18 @@ class SamplingSpec extends SparkSpec {
       Sampling.stratified(docs, "doc_id", "lang", rates = Map("en" -> 1.5))
     }
   }
+
+  test("null keys get a deterministic decision; rate 1.0 keeps every row") {
+    val df = Seq((java.lang.Long.valueOf(1L), "en"),
+      (null.asInstanceOf[java.lang.Long], "en")).toDF("id", "lang")
+    // rate 1.0 → threshold = Buckets → every bucket (incl. the null
+    // sentinel's) is below it; null rows must NOT silently vanish.
+    assert(Sampling.sampleByKey(df, "id", 1.0).count() === 2)
+    assert(Sampling.stratified(df, "id", "lang", rates = Map.empty,
+      defaultRate = 1.0).count() === 2)
+    // and the null-key decision is the same on rerun (deterministic)
+    val k1 = Sampling.sampleByKey(df, "id", 0.5).count()
+    val k2 = Sampling.sampleByKey(df, "id", 0.5).count()
+    assert(k1 === k2)
+  }
 }

@@ -49,6 +49,19 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("quantiles: all-null groups survive with null values; group cols may be named pos/col") {
+    val df = Seq(
+      ("a", Some(1d)), ("a", Some(3d)), ("b", None), ("b", None))
+      .toDF("pos", "x") // group column deliberately named like the explode ordinal
+    val out = ColumnStats.quantiles(df, "x", Seq("pos"), Seq(0.5, 0.95), exact = true)
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Double]("q"),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(out.length === 4) // 2 groups × 2 quantiles — 'b' not dropped
+    assert(out.filter(_._1 == "b").forall(_._3.isEmpty))
+    assert(out.contains(("a", 0.5, Some(2d))))
+  }
+
   test("HLL distinct within rsd of exact on driver documents") {
     val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
     val approx = ColumnStats.compute(docs, Seq("text"), exact = false, rsd = 0.05)

@@ -53,6 +53,24 @@ class TableIOSpec extends SparkSpec {
     assert(back.toSeq === (0L until 5000L))
   }
 
+  test("compact preserves hive-partitioned layout and survives trailing slashes") {
+    val dir = Files.createTempDirectory("graft-compact2").toString + "/t"
+    val df = Seq((1L, "en"), (2L, "de"), (3L, "en"), (4L, "de")).toDF("id", "lang")
+      .repartition(8)
+    TableIO.writePartitioned(df, dir, Seq("lang"))
+    // trailing slash must NOT nest the temp dir inside the table
+    TableIO.compact(spark, dir + "/", targetFileBytes = 1L << 30)
+    val subdirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(subdirs.toSet === Set("lang=de", "lang=en")) // layout kept
+    val back = spark.read.parquet(dir).select($"id", $"lang")
+      .as[(Long, String)].collect().toSet
+    assert(back === Set((1L, "en"), (2L, "de"), (3L, "en"), (4L, "de")))
+    // dynamic overwrite of one partition still works post-compaction
+    TableIO.writePartitioned(Seq((9L, "en")).toDF("id", "lang"), dir, Seq("lang"))
+    val after = spark.read.parquet(dir).as[(Long, String)].collect().toSet
+    assert(after === Set((9L, "en"), (2L, "de"), (4L, "de")))
+  }
+
   test("raw file ingestion: whole-file text rows feed the validator (S3)") {
     val dir = Files.createTempDirectory("graft-raw").toString
     java.nio.file.Files.writeString(
