@@ -243,6 +243,11 @@ object SparkEntry {
       TextAnalysis.fingerprint(docs(s, dir), "text")
         .select(col("doc_id"), col("content_sha"), col("fp64"))),
 
+    "q_pack_documents" -> ((s, dir) =>
+      // Sequence packing: bucket-local first-fit-by-start packs with a
+      // 2000-char budget; audit view (docs + fill per pack).
+      graft.pack.Packing.packSummary(docs(s, dir), "doc_id", "n_chars",
+        budget = 2000L, nBuckets = 16)),
     "q_sample_documents" -> ((s, dir) =>
       // Deterministic stratified downsampling (rebalance languages):
       // keep/drop is a pure function of (doc_id, seed) → identical
@@ -566,6 +571,21 @@ object SparkEntry {
         | substring(sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16) AS fp64
         |FROM documents""".stripMargin,
 
+    "q_pack_documents" ->
+      """WITH b AS (
+        | SELECT doc_id, n_chars,
+        |  CAST(CAST('0x' || substring(md5(coalesce(CAST(doc_id AS VARCHAR), '__NULL_KEY__') || ':42'), 1, 8) AS UBIGINT) % 1000000 % 16 AS INT) AS pack_bucket
+        | FROM documents
+        | WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0),
+        |c AS (
+        | SELECT doc_id, n_chars, pack_bucket,
+        |  sum(n_chars) OVER (PARTITION BY pack_bucket ORDER BY doc_id
+        |                     ROWS UNBOUNDED PRECEDING) AS cum
+        | FROM b)
+        |SELECT pack_bucket,
+        | CAST(floor((cum - n_chars) / 2000.0) AS BIGINT) AS pack_id,
+        | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_weight
+        |FROM c GROUP BY 1, 2""".stripMargin,
     "q_sample_documents" ->
       """SELECT lang, count(*) AS n_kept FROM (
         | SELECT lang,
