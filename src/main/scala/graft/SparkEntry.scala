@@ -74,6 +74,9 @@ object SparkEntry {
     "source" -> FieldSpec(
       required = true,
       regex = Some("src[0-9]{1,2}"),
+      // Cerberus `forbidden` — the deny-list complement of `allowed`
+      // (a known-bad scrape source)
+      forbidden = Some(Seq("src13")),
       // cross-field `dependencies` (reference cross-field check,
       // app/.../MainActivity.kt:534-535): source attribution is only
       // meaningful for the four supported European langs
@@ -99,6 +102,7 @@ object SparkEntry {
     ("lang", "allowed", "lang IS NOT NULL AND lang NOT IN ('de','en','es','fr')", "lang", "error"),
     ("source", "required", "source IS NULL", "CAST(NULL AS VARCHAR)", "error"),
     ("source", "regex", "source IS NOT NULL AND NOT regexp_full_match(source, 'src[0-9]{1,2}')", "source", "error"),
+    ("source", "forbidden", "source IS NOT NULL AND source IN ('src13')", "source", "error"),
     ("source", "dependencies", "source IS NOT NULL AND (lang IS NULL OR lang NOT IN ('de','en','es','fr'))", "source", "error"),
     ("n_chars", "required", "n_chars IS NULL", "CAST(NULL AS VARCHAR)", "error"),
     ("n_chars", "min", "n_chars IS NOT NULL AND n_chars < 100", "CAST(n_chars AS VARCHAR)", "error"),

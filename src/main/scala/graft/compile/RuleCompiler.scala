@@ -74,6 +74,11 @@ object RuleCompiler {
       spec.allowed.map { vals =>
         rule("allowed", nonNull && !v.isin(vals: _*))
       },
+      spec.forbidden.map { vals =>
+        // Cerberus `forbidden`: the complement of `allowed` — listed
+        // values are rejected, everything else passes.
+        rule("forbidden", nonNull && v.isin(vals: _*))
+      },
       spec.min.map(m => rule("min", nonNull && v < lit(m))),
       spec.max.map(m => rule("max", nonNull && v > lit(m))),
       spec.minLength.map(m => rule("minlength", nonNull && length(vStr) < lit(m))),

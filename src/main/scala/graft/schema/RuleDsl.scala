@@ -7,8 +7,9 @@ import org.apache.spark.sql.types.DataType
   *
   * Rule vocabulary (closed set, cf. the reference's closed error enum at
   * reference rust/src/lib.rs:28-46): `required`, `nullable`, `empty`,
-  * `type`, `regex`, `allowed`, `min`, `max`, `minlength`, `maxlength`,
-  * `dependencies`, plus named custom checks (e.g. `check_sha256`).
+  * `type`, `regex`, `allowed`, `forbidden`, `min`, `max`, `minlength`,
+  * `maxlength`, `dependencies`, plus named custom checks (e.g.
+  * `check_sha256`).
   *
   * Semantics, pinned by `graft.ValidatorSpec`:
   *   - Normalization runs BEFORE every rule (coercion-first, cf. reference
@@ -32,6 +33,7 @@ final case class FieldSpec(
     notEmpty: Boolean = false,
     regex: Option[String] = None,
     allowed: Option[Seq[String]] = None,
+    forbidden: Option[Seq[String]] = None,
     min: Option[Double] = None,
     max: Option[Double] = None,
     minLength: Option[Int] = None,
@@ -48,8 +50,8 @@ final case class FieldSpec(
   // prevent. Valid keys are the built-in rule vocabulary plus this
   // field's custom check names.
   private val knownRules = Set("required", "nullable", "empty", "type",
-    "regex", "allowed", "min", "max", "minlength", "maxlength",
-    "dependencies") ++ checks.map(_.rule)
+    "regex", "allowed", "forbidden", "min", "max", "minlength",
+    "maxlength", "dependencies") ++ checks.map(_.rule)
   ruleSeverity.keys.foreach { k =>
     require(knownRules.contains(k),
       s"ruleSeverity key '$k' names no rule of this field " +

@@ -90,6 +90,15 @@ class ValidatorSpec extends SparkSpec {
       Set(("alg", "allowed", "MD5")))
   }
 
+  test("forbidden: listed values rejected, everything else passes (allowed complement)") {
+    val df = Seq((1, "src13"), (2, "src5"), (3, null.asInstanceOf[String]))
+      .toDF("id", "source")
+    val schema = Schema.of("source" -> FieldSpec(
+      forbidden = Some(Seq("src13", "src99"))))
+    assert(rows(Validator.violations(df, schema, Seq("id"))) ===
+      Set(("source", "forbidden", "src13")))
+  }
+
   test("dependencies: field valid only when dependency holds") {
     val df = Seq(
       (1, "s3cret", "yes"), // dep satisfied → ok
