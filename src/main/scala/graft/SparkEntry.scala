@@ -247,6 +247,14 @@ object SparkEntry {
       TextAnalysis.fingerprint(docs(s, dir), "text")
         .select(col("doc_id"), col("content_sha"), col("fp64"))),
 
+    "q_pipeline_documents" -> ((s, dir) =>
+      // End-to-end corpus curation funnel (validate → dedup → quality →
+      // sample → pack) — per-stage counts, fully replayed by the oracle.
+      graft.pipeline.CorpusPipeline.metrics(docs(s, dir),
+        graft.pipeline.CorpusPipeline.Config(
+          schema = docSchema,
+          qualityMin = 0.5,
+          sampleRates = Map("en" -> 0.5)))),
     "q_pack_documents" -> ((s, dir) =>
       // Sequence packing: bucket-local first-fit-by-start packs with a
       // 2000-char budget; audit view (docs + fill per pack).
@@ -575,6 +583,50 @@ object SparkEntry {
         | substring(sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16) AS fp64
         |FROM documents""".stripMargin,
 
+    "q_pipeline_documents" ->
+      s"""WITH v AS (
+         | SELECT * FROM $docsXSql
+         | WHERE (${docViolationCountSql(Set("error", "fatal"))}) = 0),
+         |d AS (
+         | SELECT * FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+         |    ORDER BY doc_id) AS rn
+         |  FROM v)
+         | WHERE rn = 1),
+         |q AS (
+         | SELECT * FROM (
+         |  SELECT *,
+         |   0.4 * (CASE WHEN length(text) > 0
+         |          THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / CAST(length(text) AS DOUBLE)
+         |          ELSE 0 END)
+         |   + 0.3 * least(1.0, (CASE WHEN ntok > 0 THEN nstop / CAST(ntok AS DOUBLE) ELSE 0 END) * 4)
+         |   + 0.3 * least(1.0, ntok / 50.0) AS quality
+         |  FROM (SELECT *,
+         |         CASE WHEN length(trim(text)) = 0 THEN 0
+         |          ELSE len(regexp_extract_all(trim(text), '\\S+')) END AS ntok,
+         |         len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|for|it|with|a)\\b')) AS nstop
+         |        FROM d))
+         | WHERE quality >= 0.5),
+         |s AS (
+         | SELECT * FROM q
+         | WHERE CAST('0x' || substring(md5(coalesce(CAST(doc_id AS VARCHAR), '__NULL_KEY__') || ':42'), 1, 8) AS UBIGINT) % 1000000
+         |  < CASE lang WHEN 'en' THEN 500000 ELSE 1000000 END),
+         |p AS (
+         | SELECT pack_bucket, CAST(floor((cum - w) / 2000.0) AS BIGINT) AS pack_id
+         | FROM (
+         |  SELECT pack_bucket, w,
+         |   sum(w) OVER (PARTITION BY pack_bucket ORDER BY doc_id
+         |                ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM (SELECT doc_id, length(text) AS w,
+         |         CAST(CAST('0x' || substring(md5(coalesce(CAST(doc_id AS VARCHAR), '__NULL_KEY__') || ':42'), 1, 8) AS UBIGINT) % 1000000 % 16 AS INT) AS pack_bucket
+         |        FROM s WHERE doc_id IS NOT NULL AND length(text) > 0)))
+         |SELECT '0_input' AS stage, count(*) AS n_rows FROM documents
+         |UNION ALL SELECT '1_validated', count(*) FROM v
+         |UNION ALL SELECT '2_deduped', count(*) FROM d
+         |UNION ALL SELECT '3_quality', count(*) FROM q
+         |UNION ALL SELECT '4_sampled', count(*) FROM s
+         |UNION ALL SELECT '5_packs', count(*) FROM (SELECT DISTINCT pack_bucket, pack_id FROM p)""".stripMargin,
     "q_pack_documents" ->
       """WITH b AS (
         | SELECT doc_id, n_chars,
