@@ -68,13 +68,21 @@ object CorpusPipeline {
   /** Per-stage audit metrics: `(stage, n_rows)` for input / validated /
     * deduped / quality / sampled, plus the final pack count — the
     * auditable funnel a curation run reports.
+    *
+    * The post-dedup frame is the longest lineage prefix shared by four
+    * of the six stage counts — it is persisted into `scope` (released
+    * by the caller, cf. [[graft.util.CacheScope]]) so the validate +
+    * dedup window runs once, not four times.
     */
-  def metrics(docs: DataFrame, cfg: Config): DataFrame = {
+  def metrics(
+      docs: DataFrame,
+      cfg: Config,
+      scope: graft.util.CacheScope = graft.util.CacheScope.shared): DataFrame = {
     val clean = docs
       .withColumn("__n_err", RuleCompiler.errorCount(cfg.schema))
       .where(col("__n_err") === 0)
       .drop("__n_err")
-    val deduped = Dedup.exactDedup(clean, cfg.idCol, cfg.textCol)
+    val deduped = scope.cache(Dedup.exactDedup(clean, cfg.idCol, cfg.textCol))
     val scored = TextAnalysis.qualityFeatures(deduped, cfg.textCol)
       .where(col("quality") >= cfg.qualityMin)
     val sampled = Sampling.stratified(scored, cfg.idCol, cfg.strataCol,
