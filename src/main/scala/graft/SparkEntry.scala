@@ -308,6 +308,14 @@ object SparkEntry {
       Similarity.annTopK(emb, emb.where(col("vec_id") < 10), "vec_id",
         "embedding", dim = 64, k = 5, nPlanes = 4, nTables = 16)
     }),
+    "q_ann_ivf_embeddings" -> ((s, dir) => {
+      // IVF (centroid-partitioned) ANN — rows-only check (iterated
+      // centroids are FP-order dependent); exact brute-force equality
+      // at nProbe = nLists and recall floors pinned in IvfSpec.
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.sim.Ivf.ivfTopK(emb, emb.where(col("vec_id") < 10), "vec_id",
+        "embedding", dim = 64, k = 5, nLists = 16, nProbe = 6, iters = 3)
+    }),
     "q_neardup_embeddings" -> ((s, dir) => {
       // Exact O(n²) variant — oracle companion ONLY (DuckDB-checkable at
       // sf0.01); the scale path is q_neardup_lsh_embeddings below.
