@@ -634,6 +634,7 @@ object SparkEntry {
          |UNION ALL SELECT '2_deduped', count(*) FROM d
          |UNION ALL SELECT '3_quality', count(*) FROM q
          |UNION ALL SELECT '4_sampled', count(*) FROM s
+         | WHERE doc_id IS NOT NULL AND length(text) > 0
          |UNION ALL SELECT '5_packs', count(*) FROM (SELECT DISTINCT pack_bucket, pack_id FROM p)""".stripMargin,
     "q_pack_documents" ->
       """WITH b AS (

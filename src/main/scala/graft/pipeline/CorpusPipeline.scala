@@ -7,7 +7,6 @@ import graft.sample.Sampling
 import graft.schema.Schema
 import graft.text.TextAnalysis
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus curation: the composition a training-data user
@@ -59,11 +58,20 @@ object CorpusPipeline {
       .select(deduped.columns.map(col) :+ col("quality"): _*)
     val sampled = Sampling.stratified(scored, cfg.idCol, cfg.strataCol,
       cfg.sampleRates, cfg.defaultRate, cfg.seed)
-    Packing.packByBudget(sampled
+    Packing.packByBudget(packable(sampled, cfg)
         .withColumn("__w", length(col(cfg.textCol))),
       cfg.idCol, "__w", cfg.packBudget, cfg.packBuckets, cfg.seed)
       .drop("__w")
   }
+
+  /** The pack-input filter, applied identically by [[curate]] and
+    * [[metrics]] stage 4 — packByBudget drops null-id / zero-weight
+    * rows, and the audit funnel must count the SAME survivors the
+    * curated output contains (for schemas whose rules already reject
+    * null/empty text this filter is a no-op).
+    */
+  private def packable(df: DataFrame, cfg: Config): DataFrame =
+    df.where(col(cfg.idCol).isNotNull && length(col(cfg.textCol)) > 0)
 
   /** Per-stage audit metrics: `(stage, n_rows)` for input / validated /
     * deduped / quality / sampled, plus the final pack count — the
@@ -85,8 +93,9 @@ object CorpusPipeline {
     val deduped = scope.cache(Dedup.exactDedup(clean, cfg.idCol, cfg.textCol))
     val scored = TextAnalysis.qualityFeatures(deduped, cfg.textCol)
       .where(col("quality") >= cfg.qualityMin)
-    val sampled = Sampling.stratified(scored, cfg.idCol, cfg.strataCol,
-      cfg.sampleRates, cfg.defaultRate, cfg.seed)
+    val sampled = packable(
+      Sampling.stratified(scored, cfg.idCol, cfg.strataCol,
+        cfg.sampleRates, cfg.defaultRate, cfg.seed), cfg)
     val packed = Packing.packByBudget(sampled
         .withColumn("__w", length(col(cfg.textCol))),
       cfg.idCol, "__w", cfg.packBudget, cfg.packBuckets, cfg.seed)

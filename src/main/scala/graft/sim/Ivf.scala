@@ -31,36 +31,48 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
-  /** Normalize to unit L2 (zero vectors stay zero — they land in an
-    * arbitrary-but-fixed list and never win a cosine ranking anyway).
+  /** Project a unit-L2-normalized copy of `vecCol` as column `out`.
+    * The norm goes through its OWN projection first so the transform
+    * lambda divides by a per-row attribute — an expression captured in
+    * the lambda body re-evaluates PER ELEMENT (the documented HOF
+    * gotcha, cf. Dedup.wordShingles), which here would be O(dim²) per
+    * row. Zero vectors stay zero (they land in an arbitrary-but-fixed
+    * list and never win a cosine ranking anyway).
     */
-  private def unit(vecCol: Column): Column = {
-    val n = Similarity.norm(vecCol)
-    when(n === 0d, vecCol.cast("array<double>"))
-      .otherwise(transform(vecCol, x => x.cast("double") / n))
-  }
+  private def withUnit(df: DataFrame, vecCol: String, out: String): DataFrame =
+    df.select(col("*"), Similarity.norm(col(vecCol)).as(s"${out}__nrm"))
+      .select(col("*"),
+        when(col(s"${out}__nrm") === 0d, col(vecCol).cast("array<double>"))
+          .otherwise(transform(col(vecCol),
+            x => x.cast("double") / col(s"${out}__nrm")))
+          .as(out))
+      .drop(s"${out}__nrm")
 
-  /** `(dot, listId)` argmax over the centroid set as one expression. */
-  private def nearestList(vec: Column, centroids: Array[Array[Double]]): Column =
-    array_max(array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(
-        VectorExprs.dotNative(vec, typedLit(c.toSeq)).as("d"),
-        lit(i).as("list"))
-    }: _*))
-
-  /** Top-`nProbe` lists for a (normalized) vector, as an array of list
-    * ids ordered by descending dot.
+  /** `(dot, listId)` struct per centroid — the single source of the
+    * scoring/tie-break semantics shared by assignment and probing
+    * (struct comparison: dot first, then list id).
     */
-  private def probeLists(vec: Column, centroids: Array[Array[Double]], nProbe: Int): Column = {
-    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+  private def scoredLists(vec: Column, centroids: Array[Array[Double]]): Column = {
+    require(centroids.nonEmpty,
+      "no centroids — the corpus has no vector with the configured dim")
+    array(centroids.zipWithIndex.map { case (c, i) =>
       struct(
         VectorExprs.dotNative(vec, typedLit(c.toSeq)).as("d"),
         lit(i).as("list"))
     }: _*)
-    transform(
-      slice(reverse(array_sort(scored)), 1, nProbe),
-      s => s.getField("list"))
   }
+
+  /** Argmax list over the centroid set as one expression. */
+  private def nearestList(vec: Column, centroids: Array[Array[Double]]): Column =
+    array_max(scoredLists(vec, centroids))
+
+  /** Top-`nProbe` lists for a (normalized) vector, as an array of list
+    * ids ordered by descending dot.
+    */
+  private def probeLists(vec: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
+    transform(
+      slice(reverse(array_sort(scoredLists(vec, centroids))), 1, nProbe),
+      s => s.getField("list"))
 
   /** Seeded k-means centroids (k × dim, driver-held). Init = the k
     * corpus vectors with the smallest `xxhash64(id, seed)`
@@ -76,17 +88,26 @@ object Ivf {
       dim: Int,
       k: Int,
       iters: Int = 5,
-      seed: Long = 42L): Array[Array[Double]] = {
+      seed: Long = 42L,
+      scope: graft.util.CacheScope = graft.util.CacheScope.shared): Array[Array[Double]] = {
     require(k > 0 && iters >= 0, s"bad k=$k / iters=$iters")
-    val vecs = corpus
-      .where(col(vecCol).isNotNull && size(col(vecCol)) === dim)
-      .select(col(idCol).as("__id"), unit(col(vecCol)).as("__v"))
+    // The normalized projection feeds the init sort + one aggregate per
+    // Lloyd round — persist it (caller releases the scope) instead of
+    // re-scanning and re-normalizing the corpus iters+1 times.
+    val vecs = scope.cache(
+      withUnit(
+        corpus.where(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+          .select(col(idCol).as("__id"), col(vecCol)),
+        vecCol, "__v")
+        .select(col("__id"), col("__v")))
     var centroids: Array[Array[Double]] = vecs
       .orderBy(xxhash64(col("__id"), lit(seed)).asc, col("__id").asc)
       .limit(k)
       .select(col("__v"))
       .collect()
       .map(_.getSeq[Double](0).toArray)
+    require(centroids.nonEmpty,
+      s"cannot train IVF centroids: no corpus vector has dim=$dim")
     var it = 0
     while (it < iters) {
       val assigned = vecs.withColumn("__list",
@@ -127,10 +148,12 @@ object Ivf {
       vecCol: String,
       dim: Int,
       centroids: Array[Array[Double]]): DataFrame =
-    corpus
-      .where(col(vecCol).isNotNull && size(col(vecCol)) === dim)
-      .select(col(idCol).as("id"), col(vecCol).as("vec"),
-        nearestList(unit(col(vecCol)), centroids).getField("list").as("list"))
+    withUnit(
+      corpus.where(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+        .select(col(idCol).as("id"), col(vecCol).as("vec")),
+      "vec", "__u")
+      .select(col("id"), col("vec"),
+        nearestList(col("__u"), centroids).getField("list").as("list"))
 
   /** Approximate top-k: probe the query's `nProbe` nearest lists, exact
     * cosine re-rank inside them. Output matches
@@ -146,16 +169,19 @@ object Ivf {
       nLists: Int = 16,
       nProbe: Int = 4,
       iters: Int = 5,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      scope: graft.util.CacheScope = graft.util.CacheScope.shared): DataFrame = {
     require(nProbe >= 1 && nProbe <= nLists, s"nProbe=$nProbe out of 1..$nLists")
-    val centroids = trainCentroids(corpus, idCol, vecCol, dim, nLists, iters, seed)
+    val centroids = trainCentroids(corpus, idCol, vecCol, dim, nLists, iters, seed, scope)
     val cIdx = ivfIndex(corpus, idCol, vecCol, dim, centroids)
       .withColumn("c_norm", Similarity.norm(col("vec")))
-    val qIdx = queries
-      .where(col(vecCol).isNotNull && size(col(vecCol)) === dim)
-      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-        Similarity.norm(col(vecCol)).as("q_norm"),
-        explode(probeLists(unit(col(vecCol)), centroids, nProbe)).as("list"))
+    val qIdx = withUnit(
+      queries.where(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+        .select(col(idCol).as("q_id"), col(vecCol).as("q_vec")),
+      "q_vec", "__u")
+      .select(col("q_id"), col("q_vec"),
+        Similarity.norm(col("q_vec")).as("q_norm"),
+        explode(probeLists(col("__u"), centroids, nProbe)).as("list"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
     cIdx.join(broadcast(qIdx), Seq("list"))
       .where(col("q_id") =!= col("id"))

@@ -24,10 +24,17 @@ class PackingSpec extends SparkSpec {
       assert(p.getAs[Long]("total_weight") <= budget + maxW,
         s"pack over budget+maxDoc: $p")
     }
-    // packs are densely numbered from 0 within each bucket
+    // real invariants of first-fit-by-start: every bucket starts at
+    // pack 0, ids never exceed the doc count (a doc with weight >
+    // budget may SKIP ids — density is not an invariant), and no pack
+    // id is negative
     packs.groupBy(_.getAs[Int]("pack_bucket")).foreach { case (_, ps) =>
-      val ids = ps.map(_.getAs[Long]("pack_id")).sorted
-      assert(ids.toSeq === (0L until ids.length))
+      val ids = ps.map(_.getAs[Long]("pack_id"))
+      val totW = ps.map(_.getAs[Long]("total_weight")).sum
+      assert(ids.min === 0L)
+      assert(ids.forall(_ >= 0L))
+      // a doc's pack id = floor(startOffset/budget) < totalWeight/budget + 1
+      assert(ids.max <= totW / budget)
     }
   }
 
