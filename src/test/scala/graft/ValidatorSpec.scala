@@ -120,6 +120,17 @@ class ValidatorSpec extends SparkSpec {
       Set(("num", "type", "12x")))
   }
 
+  test("rules apply to nested struct fields via dotted paths (Cerberus nested schema analog)") {
+    val df = Seq((1, "en", 5), (2, "xx", -1)).toDF("id", "l", "n")
+      .select(col("id"),
+        struct(col("l").as("lang"), col("n").as("score")).as("meta"))
+    val schema = Schema.of(
+      "meta.lang" -> FieldSpec(allowed = Some(Seq("en", "de"))),
+      "meta.score" -> FieldSpec(min = Some(0d)))
+    assert(rows(Validator.violations(df, schema, Seq("id"))) ===
+      Set(("meta.lang", "allowed", "xx"), ("meta.score", "min", "-1")))
+  }
+
   test("custom check: sha256 invariant (rust/src/lib.rs:161-172 analog)") {
     val good = "hello"
     val goodSha = java.security.MessageDigest
