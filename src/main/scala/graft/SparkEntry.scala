@@ -217,6 +217,15 @@ object SparkEntry {
       graft.temporal.Temporal.sessionSummary(ev, "user_id", "ts",
         gapSeconds = 3600L, tieBreak = Seq("event_id"))
     }),
+    "q_drift_categorical_documents" -> ((s, dir) => {
+      // Categorical drift (PSI + total variation) of the source
+      // distribution per lang, between even- and odd-id halves.
+      val d = docs(s, dir)
+      Drift.categoricalCompare(
+        d.where(pmod(col("doc_id"), lit(2)) === 0),
+        d.where(pmod(col("doc_id"), lit(2)) === 1),
+        "source", Seq("lang"))
+    }),
     "q_drift_events" -> ((s, dir) => {
       val ev = s.read.parquet(s"$dir/events.parquet")
       Drift.compare(
@@ -497,6 +506,30 @@ object SparkEntry {
         | round(sum(psi_term), 6) AS psi,
         | round(max(abs(cdf_p - cdf_q)), 6) AS ks
         |FROM t GROUP BY lang""".stripMargin,
+    "q_drift_categorical_documents" ->
+      """WITH cur AS (
+        |  SELECT lang, source AS category, count(*) AS n_cur FROM documents
+        |  WHERE source IS NOT NULL AND doc_id % 2 = 0 GROUP BY 1, 2),
+        |base AS (
+        |  SELECT lang, source AS category, count(*) AS n_base FROM documents
+        |  WHERE source IS NOT NULL AND doc_id % 2 = 1 GROUP BY 1, 2),
+        |j AS (
+        |  SELECT coalesce(cur.lang, base.lang) AS lang,
+        |   coalesce(cur.category, base.category) AS category,
+        |   CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur,
+        |   CAST(coalesce(n_base, 0) AS BIGINT) AS n_base
+        |  FROM cur FULL OUTER JOIN base
+        |   ON cur.lang = base.lang AND cur.category = base.category),
+        |f AS (
+        |  SELECT lang, category, n_cur, n_base,
+        |   n_cur / CAST(sum(n_cur) OVER (PARTITION BY lang) AS DOUBLE) AS p,
+        |   n_base / CAST(sum(n_base) OVER (PARTITION BY lang) AS DOUBLE) AS q
+        |  FROM j)
+        |SELECT lang, CAST(sum(n_cur) AS BIGINT) AS n_cur,
+        | CAST(sum(n_base) AS BIGINT) AS n_base,
+        | round(sum((greatest(p, 1e-6) - greatest(q, 1e-6)) * ln(greatest(p, 1e-6) / greatest(q, 1e-6))), 6) AS psi,
+        | round(sum(abs(p - q)) / 2, 6) AS tv
+        |FROM f GROUP BY lang""".stripMargin,
     "q_drift_events" ->
       """WITH cur AS (
         |  SELECT event_type,

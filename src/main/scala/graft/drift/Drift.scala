@@ -125,6 +125,46 @@ object Drift {
     scoreBins(joined, groupCols, eps)
   }
 
+  /** Categorical drift: PSI + total-variation distance of a CATEGORY
+    * distribution (lang, source, file extension, …) between `cur` and
+    * `base` — the columns numeric binning can't cover. Output:
+    * `(…groupCols, n_cur, n_base, psi, tv)` with
+    * TV = ½·Σ|p−q| ∈ [0,1] (KS is meaningless for unordered
+    * categories, so TV replaces it). Costs one map-side-combined
+    * groupBy per side; categories never leave the executors until
+    * reduced to O(groups × categories) rows.
+    */
+  def categoricalCompare(
+      cur: DataFrame,
+      base: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      eps: Double = 1e-6): DataFrame = {
+    def counts(df: DataFrame, as: String) =
+      df.where(col(valueCol).isNotNull)
+        .groupBy((groupCols.map(col) :+ col(valueCol).cast("string").as("category")): _*)
+        .agg(count(lit(1)).as(as))
+    val joined = counts(cur, "n_cur")
+      .join(counts(base, "n_base"), groupCols :+ "category", "full_outer")
+      .na.fill(0L, Seq("n_cur", "n_base"))
+    val g = groupCols.map(col)
+    val wg = Window.partitionBy(g: _*)
+    val p = col("n_cur") / sum(col("n_cur")).over(wg)
+    val q = col("n_base") / sum(col("n_base")).over(wg)
+    val pc = greatest(p, lit(eps))
+    val qc = greatest(q, lit(eps))
+    joined
+      .withColumn("p", p)
+      .withColumn("q", q)
+      .withColumn("psi_term", (pc - qc) * log(pc / qc))
+      .groupBy(g: _*)
+      .agg(
+        sum(col("n_cur")).as("n_cur"),
+        sum(col("n_base")).as("n_base"),
+        round(sum(col("psi_term")), 6).as("psi"),
+        round(sum(abs(col("p") - col("q"))) / 2d, 6).as("tv"))
+  }
+
   /** Shared scoring over joined per-bin counts. Operates on
     * O(groups × nBins) rows — window use here is cheap by construction.
     */

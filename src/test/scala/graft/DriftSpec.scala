@@ -80,4 +80,26 @@ class DriftSpec extends SparkSpec {
     // ~700 rows per lang per half puts KS noise at a few percent).
     viaSketch.values.foreach { case (psi, ks) => assert(psi < 0.1 && ks < 0.1) }
   }
+
+  test("categorical drift: identical distributions score ~0; a shifted category is detected") {
+    import spark.implicits._
+    val a = Seq.fill(50)("s1") ++ Seq.fill(30)("s2") ++ Seq.fill(20)("s3")
+    val b = Seq.fill(20)("s1") ++ Seq.fill(30)("s2") ++ Seq.fill(50)("s3")
+    val cur = a.zipWithIndex.map { case (v, i) => (i, "g", v) }.toDF("id", "grp", "cat")
+    val base = b.zipWithIndex.map { case (v, i) => (i, "g", v) }.toDF("id", "grp", "cat")
+
+    val same = Drift.categoricalCompare(cur, cur, "cat", Seq("grp")).head()
+    assert(same.getAs[Double]("psi") === 0.0)
+    assert(same.getAs[Double]("tv") === 0.0)
+
+    val shifted = Drift.categoricalCompare(cur, base, "cat", Seq("grp")).head()
+    // TV = 0.5 * (|0.5-0.2| + 0 + |0.2-0.5|) = 0.3 exactly
+    assert(shifted.getAs[Double]("tv") === 0.3)
+    assert(shifted.getAs[Double]("psi") > 0.1)
+
+    // a category absent from one side still contributes (full outer join)
+    val extra = Seq((999, "g", "s9")).toDF("id", "grp", "cat")
+    val withNew = Drift.categoricalCompare(cur.union(extra), cur, "cat", Seq("grp")).head()
+    assert(withNew.getAs[Double]("tv") > 0.0)
+  }
 }
