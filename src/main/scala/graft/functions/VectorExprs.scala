@@ -40,6 +40,21 @@ object VectorExprs {
       nTables: Int, nPlanes: Int, dim: Int): Column =
     GraftExprBridge.column(
       HyperplaneBuckets(GraftExprBridge.expression(vec), planes, nTables, nPlanes, dim))
+
+  /** Top-`nProbe` IVF list ids of a vector against a centroid matrix
+    * held ONCE as a plan reference object (`centroids` is the flattened
+    * [list][dim] matrix). Ordering: dot product descending, ties to the
+    * LARGER list id — bit-identical to the composed
+    * `reverse(array_sort(array(struct(dot, list)…)))` formulation
+    * (pinned by IvfSpec), but with plan size and codegen cost O(1) in
+    * the list count instead of one `typedLit` array literal + struct
+    * expression PER centroid (which blows janino compile at the
+    * k ≈ 10⁴–10⁵ lists corpus-scale IVF wants).
+    */
+  def centroidTopLists(vec: Column, centroids: Array[Double],
+      dim: Int, nProbe: Int): Column =
+    GraftExprBridge.column(
+      CentroidTopLists(GraftExprBridge.expression(vec), centroids, dim, nProbe))
 }
 
 /** Sequential-fold dot product over two numeric arrays (float or
@@ -167,6 +182,115 @@ case class HyperplaneBuckets(
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
     copy(child = newChild)
+}
+
+/** Top-`nProbe` centroid list ids by descending dot product — see
+  * [[VectorExprs.centroidTopLists]]. `centroids` is the flattened
+  * [list][dim] matrix, shipped once via `addReferenceObj` (plan size
+  * O(1) in the list count). Tie-break: equal dots resolve to the larger
+  * list id, matching struct-max / descending struct-sort semantics of
+  * the composed per-centroid form.
+  */
+case class CentroidTopLists(
+    child: Expression,
+    centroids: Array[Double],
+    dim: Int,
+    nProbe: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(dim > 0 && centroids.length % dim == 0,
+    s"centroid matrix length ${centroids.length} is not a multiple of dim=$dim")
+  require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "centroid_top_lists"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"centroid_top_lists requires array<float>/array<double>, got ${t.sql}")
+  }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    CentroidTopLists.compute(
+      input.asInstanceOf[ArrayData], isFloat, centroids, dim, nProbe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centroidsRef = ctx.addReferenceObj("centroids", centroids, "double[]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value}_r =
+        graft.functions.CentroidTopLists.compute(
+          $c, $isFloat, $centroidsRef, $dim, $nProbe);
+      if (${ev.value}_r == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = ${ev.value}_r;
+      }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CentroidTopLists =
+    copy(child = newChild)
+}
+
+object CentroidTopLists {
+
+  /** Static kernel (called from generated code — keep Java-callable).
+    * Null for malformed vectors (wrong dim / null elements), like
+    * [[DotProduct]]. Dots use the same left-to-right fold as
+    * [[DotProduct.compute]], so rankings are bit-identical to the
+    * composed per-centroid expression form.
+    */
+  def compute(vec: ArrayData, vFloat: Boolean, centroids: Array[Double],
+      dim: Int, nProbe: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (vec.numElements() != dim) return null
+    var i = 0
+    while (i < dim) {
+      if (vec.isNullAt(i)) return null
+      i += 1
+    }
+    val k = centroids.length / dim
+    val dots = new Array[Double](k)
+    var l = 0
+    while (l < k) {
+      val off = l * dim
+      var acc = 0d
+      i = 0
+      while (i < dim) {
+        val x = if (vFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+        acc += x * centroids(off + i)
+        i += 1
+      }
+      dots(l) = acc
+      l += 1
+    }
+    val n = math.min(nProbe, k)
+    val out = new Array[Int](n)
+    val chosen = new Array[Boolean](k)
+    var p = 0
+    while (p < n) {
+      var best = -1
+      l = 0
+      while (l < k) {
+        // strict > keeps the earlier-scanned list on equality; >= flips
+        // to the later one — ties must go to the LARGER list id, so >=.
+        if (!chosen(l) && (best < 0 || dots(l) >= dots(best))) best = l
+        l += 1
+      }
+      chosen(best) = true
+      out(p) = best
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 object HyperplaneBuckets {

@@ -48,31 +48,55 @@ object Ivf {
           .as(out))
       .drop(s"${out}__nrm")
 
-  /** `(dot, listId)` struct per centroid — the single source of the
-    * scoring/tie-break semantics shared by assignment and probing
-    * (struct comparison: dot first, then list id).
-    */
-  private def scoredLists(vec: Column, centroids: Array[Array[Double]]): Column = {
+  /** Flattened [list][dim] centroid matrix for the native expression. */
+  private def flat(centroids: Array[Array[Double]]): Array[Double] = {
     require(centroids.nonEmpty,
       "no centroids — the corpus has no vector with the configured dim")
-    array(centroids.zipWithIndex.map { case (c, i) =>
+    val dim = centroids(0).length
+    val out = new Array[Double](centroids.length * dim)
+    var l = 0
+    while (l < centroids.length) {
+      System.arraycopy(centroids(l), 0, out, l * dim, dim)
+      l += 1
+    }
+    out
+  }
+
+  /** Argmax list over the centroid set — ONE native expression holding
+    * the whole centroid matrix as a single plan reference object, so
+    * plan size and codegen cost are O(1) in the list count (the
+    * composed per-centroid `typedLit` form, kept below as the parity
+    * cross-check, explodes plan size and janino compile at the
+    * k ≈ 10⁴–10⁵ lists a corpus-scale IVF wants).
+    */
+  private def nearestList(vec: Column, centroids: Array[Array[Double]]): Column =
+    element_at(probeLists(vec, centroids, 1), 1)
+
+  /** Top-`nProbe` lists for a (normalized) vector, as an array of list
+    * ids ordered by descending dot (ties to the larger id).
+    */
+  private def probeLists(vec: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
+    VectorExprs.centroidTopLists(vec, flat(centroids), centroids(0).length, nProbe)
+
+  /** Composed built-ins formulation of [[probeLists]] — one `(dot,
+    * listId)` struct literal PER centroid, ranked by descending struct
+    * comparison. Bit-identical to the native expression (pinned by
+    * IvfSpec); retained ONLY as its cross-check oracle — O(nLists)
+    * plan size makes it unusable at scale.
+    */
+  private[graft] def probeListsComposed(
+      vec: Column, centroids: Array[Array[Double]], nProbe: Int): Column = {
+    require(centroids.nonEmpty,
+      "no centroids — the corpus has no vector with the configured dim")
+    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
       struct(
         VectorExprs.dotNative(vec, typedLit(c.toSeq)).as("d"),
         lit(i).as("list"))
     }: _*)
-  }
-
-  /** Argmax list over the centroid set as one expression. */
-  private def nearestList(vec: Column, centroids: Array[Array[Double]]): Column =
-    array_max(scoredLists(vec, centroids))
-
-  /** Top-`nProbe` lists for a (normalized) vector, as an array of list
-    * ids ordered by descending dot.
-    */
-  private def probeLists(vec: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
     transform(
-      slice(reverse(array_sort(scoredLists(vec, centroids))), 1, nProbe),
+      slice(reverse(array_sort(scored)), 1, nProbe),
       s => s.getField("list"))
+  }
 
   /** Seeded k-means centroids (k × dim, driver-held). Init = the k
     * corpus vectors with the smallest `xxhash64(id, seed)`
@@ -111,7 +135,7 @@ object Ivf {
     var it = 0
     while (it < iters) {
       val assigned = vecs.withColumn("__list",
-        nearestList(col("__v"), centroids).getField("list"))
+        nearestList(col("__v"), centroids))
       // Element-wise mean per list: explode to (list, pos, x) — the
       // aggregate is O(k·dim) output rows regardless of corpus size.
       val sums = assigned
@@ -153,7 +177,7 @@ object Ivf {
         .select(col(idCol).as("id"), col(vecCol).as("vec")),
       "vec", "__u")
       .select(col("id"), col("vec"),
-        nearestList(col("__u"), centroids).getField("list").as("list"))
+        nearestList(col("__u"), centroids).as("list"))
 
   /** Approximate top-k: probe the query's `nProbe` nearest lists, exact
     * cosine re-rank inside them. Output matches

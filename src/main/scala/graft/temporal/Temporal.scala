@@ -47,6 +47,17 @@ object Temporal {
       valueCols: Seq[String]): DataFrame = {
     val leftPayload =
       left.columns.filterNot(c => keyCols.contains(c) || c == leftTs).toSeq
+    // Output-shape guards: a left payload column sharing a name with a
+    // right value column would produce duplicate output columns, and the
+    // internal __-tags would silently collide with same-named payload.
+    val clash = leftPayload.intersect(valueCols)
+    require(clash.isEmpty,
+      s"left payload and right value columns collide on ${clash.mkString(", ")} " +
+        "— rename one side before the as-of join")
+    val reserved = leftPayload.intersect(Seq("__ts", "__origin", "__rval", "__asof"))
+    require(reserved.isEmpty,
+      s"left columns ${reserved.mkString(", ")} collide with asofJoin's " +
+        "internal __-prefixed tags — rename them")
     val keyCs = keyCols.map(col)
     // origin: 0 = right (visible at equal ts), 1 = left.
     // Null right timestamps would sort FIRST (nulls-first asc) and leak

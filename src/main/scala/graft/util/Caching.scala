@@ -40,12 +40,20 @@ final class CacheScope {
 }
 
 object CacheScope {
-  /** Default scope for callers that don't manage one. Nothing releases
-    * it automatically — sessions running several mining jobs should
-    * either pass their own scope or call `CacheScope.shared.release()`
-    * between jobs (Bench/Verify do, per query).
+  private val threadShared: ThreadLocal[CacheScope] =
+    ThreadLocal.withInitial(() => new CacheScope)
+
+  /** Default scope for callers that don't manage one. THREAD-CONFINED:
+    * each thread gets its own default scope, so two concurrent callers
+    * that both fall back to the default can never unpersist each
+    * other's still-lazy frames (a process-global default made
+    * `release()` from one job silently drop the other's caches).
+    * Nothing releases it automatically — sessions running several
+    * mining jobs should either pass their own scope or call
+    * `CacheScope.shared.release()` between jobs, FROM THE SAME THREAD
+    * that ran the job (Bench/Verify do, per query).
     */
-  val shared = new CacheScope
+  def shared: CacheScope = threadShared.get()
 
 
   /** Convenience: run `f` with a fresh scope, releasing on exit. Only

@@ -37,6 +37,35 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("native centroid ranking is bit-identical to the composed per-centroid form") {
+    val centroids = Ivf.trainCentroids(emb, "vec_id", "embedding", dim = 64, k = 8, iters = 2)
+    val vec = $"embedding".cast("array<double>")
+    Seq(1, 4, 8).foreach { nProbe =>
+      val both = emb.select(
+        graft.functions.VectorExprs
+          .centroidTopLists(vec, centroids.flatten, 64, nProbe).as("native"),
+        Ivf.probeListsComposed(vec, centroids, nProbe).as("composed"))
+      assert(both.where($"native" =!= $"composed").count() === 0L,
+        s"native/composed ranking diverged at nProbe=$nProbe")
+    }
+  }
+
+  test("plan size is O(1) in nLists (centroid matrix is one reference object)") {
+    // Synthetic centroid matrices — plan SHAPE only, no training needed.
+    def mat(k: Int) = Array.tabulate(k, 64)((l, d) => (l * 64 + d + 1).toDouble / 1e4)
+    def planLen(k: Int) =
+      Ivf.ivfIndex(emb, "vec_id", "embedding", 64, mat(k))
+        .queryExecution.executedPlan.toString.length
+    val small = planLen(8)
+    val large = planLen(512)
+    assert(large < small * 2,
+      s"plan grew with nLists: $small chars at k=8 vs $large at k=512 — " +
+        "centroids are leaking into the plan as literals again")
+    // and the 512-list plan actually executes (janino compiles it)
+    val idx = Ivf.ivfIndex(emb, "vec_id", "embedding", 64, mat(512))
+    assert(idx.count() === emb.count())
+  }
+
   test("index partitions the corpus; centroids are deterministic for a fixed seed") {
     val c1 = Ivf.trainCentroids(emb, "vec_id", "embedding", dim = 64, k = 8, iters = 2)
     assert(c1.length === 8)
