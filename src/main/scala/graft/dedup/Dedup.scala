@@ -288,15 +288,31 @@ object Dedup {
       shingleN: Int = 8,
       minEstJaccard: Double = 0.7,
       maxBucket: Int = 1000,
+      scope: CacheScope = CacheScope.shared): DataFrame =
+    minHashNearDuplicatesFromSigs(
+      minHashSignatures(df, idCol, textCol, k, shingleN),
+      k, bands, minEstJaccard, maxBucket, scope)
+
+  /** [[minHashNearDuplicates]] over a PREBUILT signature frame `(id,
+    * sig)` — the build-once/query-many path: signatures computed once
+    * (or loaded from a persisted index, [[graft.index.IndexStore]])
+    * feed any number of mining runs without re-shingling the corpus.
+    */
+  def minHashNearDuplicatesFromSigs(
+      signatures: DataFrame,
+      k: Int,
+      bands: Int,
+      minEstJaccard: Double = 0.7,
+      maxBucket: Int = 1000,
       scope: CacheScope = CacheScope.shared): DataFrame = {
     require(k % bands == 0 && bands <= k,
       s"signature length k=$k must be a positive multiple of bands=$bands " +
         "(banded LSH needs equal-size bands; a remainder would silently " +
         "drop signature tail elements)")
     // The signature frame feeds band hashing AND both verification
-    // joins — persist it so the shingle explode + k-min aggregate runs
-    // once, not three times (at scale: checkpoint/write signatures).
-    val sigs = scope.cache(minHashSignatures(df, idCol, textCol, k, shingleN))
+    // joins — persist it so the upstream compute (or index scan) runs
+    // once, not three times.
+    val sigs = scope.cache(signatures)
     val cands = lshCandidates(sigs, bands, maxBucket, scope)
     cands
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))

@@ -199,6 +199,28 @@ object Ivf {
     val centroids = trainCentroids(corpus, idCol, vecCol, dim, nLists, iters, seed, scope)
     val cIdx = ivfIndex(corpus, idCol, vecCol, dim, centroids)
       .withColumn("c_norm", Similarity.norm(col("vec")))
+    ivfTopKFromIndex(centroids, cIdx, queries, idCol, vecCol, dim, k, nProbe)
+  }
+
+  /** [[ivfTopK]] over a PREBUILT index — driver-held `centroids` plus
+    * the assignment frame `(id, vec, list, c_norm)` (typically loaded
+    * from a persisted index, [[graft.index.IndexStore]]): no k-means
+    * re-training, no corpus re-assignment per query batch. When the
+    * assignment table is stored `partitionBy(list)`, the broadcast of
+    * the probed query lists enables dynamic partition pruning — a probe
+    * touching nProbe/k of the lists reads ~nProbe/k of the index.
+    */
+  def ivfTopKFromIndex(
+      centroids: Array[Array[Double]],
+      assignments: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      nProbe: Int): DataFrame = {
+    require(nProbe >= 1 && nProbe <= centroids.length,
+      s"nProbe=$nProbe out of 1..${centroids.length}")
     val qIdx = withUnit(
       queries.where(col(vecCol).isNotNull && size(col(vecCol)) === dim)
         .select(col(idCol).as("q_id"), col(vecCol).as("q_vec")),
@@ -207,7 +229,7 @@ object Ivf {
         Similarity.norm(col("q_vec")).as("q_norm"),
         explode(probeLists(col("__u"), centroids, nProbe)).as("list"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
-    cIdx.join(broadcast(qIdx), Seq("list"))
+    assignments.join(broadcast(qIdx), Seq("list"))
       .where(col("q_id") =!= col("id"))
       .select(col("q_id"), col("id").as("vec_id"),
         Similarity.cosineWithNorms(col("q_vec"), col("vec"),

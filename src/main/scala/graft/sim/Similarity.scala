@@ -142,9 +142,29 @@ object Similarity {
       k: Int,
       nPlanes: Int = 12,
       nTables: Int = 4,
+      seed: Long = 42L): DataFrame =
+    annTopKFromIndex(
+      lshIndex(corpus, idCol, vecCol, dim, nPlanes, nTables, seed)
+        .withColumn("c_norm", norm(col("vec"))),
+      queries, idCol, vecCol, dim, k, nPlanes, nTables, seed)
+
+  /** [[annTopK]] over a PREBUILT corpus-side bucket index `(id, vec,
+    * table, bucket, c_norm)` — the build-once/query-many path
+    * ([[graft.index.IndexStore]] persists/loads it): only the QUERY
+    * side is hashed at query time (same seed/planes — deterministic),
+    * the corpus is never re-bucketed or re-normed.
+    */
+  def annTopKFromIndex(
+      corpusIndex: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      nPlanes: Int = 12,
+      nTables: Int = 4,
       seed: Long = 42L): DataFrame = {
-    val cIdx = lshIndex(corpus, idCol, vecCol, dim, nPlanes, nTables, seed)
-      .withColumn("c_norm", norm(col("vec")))
+    val cIdx = corpusIndex
     val qIdx = lshIndex(queries, idCol, vecCol, dim, nPlanes, nTables, seed)
       .select(col("id").as("q_id"), col("vec").as("q_vec"),
         norm(col("vec")).as("q_norm"), col("table"), col("bucket"))

@@ -1,0 +1,109 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.functions.{CentroidTopLists, MinHashSig}
+import graft.index.IndexStore
+import graft.sim.Similarity
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.functions._
+
+/** Build-once/query-many index persistence: stored indices reproduce
+  * the direct-compute results exactly, and the query-time plan reads
+  * the index parquet instead of recomputing signatures / buckets /
+  * centroids.
+  */
+class IndexStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+  private lazy val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+
+  private def tmpDir(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft-idx-$name")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  /** All expressions of the optimized plan matching a predicate. */
+  private def exprCount(df: DataFrame, p: Expression => Boolean): Int =
+    df.queryExecution.optimizedPlan.collect { case node =>
+      node.expressions.map(_.collect { case e if p(e) => e }.size).sum
+    }.sum
+
+  test("minhash: stored signatures reproduce direct mining, no signature recompute") {
+    val path = tmpDir("minhash")
+    IndexStore.buildMinHash(docs, "doc_id", "text", path, k = 64, shingleN = 8)
+
+    val direct = Dedup.minHashNearDuplicates(docs, "doc_id", "text",
+        k = 64, bands = 16, shingleN = 8, minEstJaccard = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    graft.util.CacheScope.shared.release()
+
+    // query twice from the same stored index
+    (1 to 2).foreach { _ =>
+      val fromIndex = IndexStore.minHashNearDuplicates(spark, path,
+        bands = 16, minEstJaccard = 0.5)
+      assert(fromIndex.as[(Long, Long, Double)].collect().toSet === direct)
+      // the plan computes NO minhash signatures — the index scan is the input
+      assert(exprCount(fromIndex, _.isInstanceOf[MinHashSig]) === 0)
+      assert(fromIndex.inputFiles.forall(_.contains(path)),
+        "index query reads files outside the stored index")
+      graft.util.CacheScope.shared.release()
+    }
+  }
+
+  test("lsh: stored bucket index reproduces direct annTopK; only the query side hashes") {
+    val path = tmpDir("lsh")
+    IndexStore.buildLsh(emb, "vec_id", "embedding", path,
+      dim = 64, nPlanes = 4, nTables = 8)
+
+    val queries = emb.where($"vec_id" < 10)
+    val direct = Similarity.annTopK(emb, queries, "vec_id", "embedding",
+        dim = 64, k = 5, nPlanes = 4, nTables = 8)
+      .select($"q_id", $"vec_id", $"rank").as[(Long, Long, Int)].collect().toSet
+
+    val fromIndex = IndexStore.annTopK(spark, path, queries, "vec_id", "embedding", k = 5)
+    assert(fromIndex.select($"q_id", $"vec_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet === direct)
+    // direct plan buckets BOTH sides; the index plan only the query side
+    assert(exprCount(direct2frame(queries), _.isInstanceOf[graft.functions.HyperplaneBuckets]) === 2)
+    assert(exprCount(fromIndex, _.isInstanceOf[graft.functions.HyperplaneBuckets]) === 1)
+  }
+
+  private def direct2frame(queries: DataFrame): DataFrame =
+    Similarity.annTopK(emb, queries, "vec_id", "embedding",
+      dim = 64, k = 5, nPlanes = 4, nTables = 8)
+
+  test("ivf: stored centroids+assignments, probe-all equals brute force exactly") {
+    val path = tmpDir("ivf")
+    IndexStore.buildIvf(emb, "vec_id", "embedding", path,
+      dim = 64, nLists = 8, iters = 2)
+    graft.util.CacheScope.shared.release()
+
+    val queries = emb.where($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select($"q_id", $"vec_id", $"rank").as[(Long, Long, Int)].collect().toSet
+    val fromIndex = IndexStore.ivfTopK(spark, path, queries, "vec_id", "embedding",
+      k = 5, nProbe = 8)
+    assert(fromIndex.select($"q_id", $"vec_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet === exact)
+    // centroid ranking runs once (query probing); assignments come from parquet
+    assert(exprCount(fromIndex, _.isInstanceOf[CentroidTopLists]) === 1)
+
+    // stored assignment table is hive-partitioned by list (pruning seam)
+    val (_, assignments, meta) = IndexStore.loadIvf(spark, path)
+    assert(meta.nLists === 8 && meta.dim === 64)
+    assert(assignments.inputFiles.forall(_.contains("list=")),
+      "assignments are not partitioned by list")
+  }
+
+  test("kind mismatch fails loudly at load") {
+    val path = tmpDir("kind")
+    IndexStore.buildMinHash(docs, "doc_id", "text", path)
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.loadLsh(spark, path)
+    }
+    assert(e.getMessage.contains("'minhash'"))
+  }
+}
