@@ -266,9 +266,12 @@ object SparkEntry {
           sampleRates = Map("en" -> 0.5)))),
     "q_pack_documents" -> ((s, dir) =>
       // Sequence packing: bucket-local first-fit-by-start packs with a
-      // 2000-char budget; audit view (docs + fill per pack).
-      graft.pack.Packing.packSummary(docs(s, dir), "doc_id", "n_chars",
-        budget = 2000L, nBuckets = 16)),
+      // 2000-char budget; audit view (docs + fill per pack). The bucket
+      // count is DERIVED from the input size (ceil(rows/100) here —
+      // bounded per-bucket sorts at any scale); the oracle recomputes
+      // the identical derivation from the same table.
+      graft.pack.Packing.packSummaryAuto(docs(s, dir), "doc_id", "n_chars",
+        budget = 2000L, targetRowsPerBucket = 100L)),
     "q_sample_documents" -> ((s, dir) =>
       // Deterministic stratified downsampling (rebalance languages):
       // keep/drop is a pure function of (doc_id, seed) → identical
@@ -670,9 +673,13 @@ object SparkEntry {
          | WHERE doc_id IS NOT NULL AND length(text) > 0
          |UNION ALL SELECT '5_packs', count(*) FROM (SELECT DISTINCT pack_bucket, pack_id FROM p)""".stripMargin,
     "q_pack_documents" ->
-      """WITH b AS (
+      """WITH nb AS (
+        | SELECT CAST(least(greatest(CAST(ceil(count(*) / 100.0) AS BIGINT), 1), 65536) AS INT) AS n
+        | FROM documents
+        | WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0),
+        |b AS (
         | SELECT doc_id, n_chars,
-        |  CAST(CAST('0x' || substring(md5(coalesce(CAST(doc_id AS VARCHAR), '__NULL_KEY__') || ':42'), 1, 8) AS UBIGINT) % 1000000 % 16 AS INT) AS pack_bucket
+        |  CAST(CAST('0x' || substring(md5(coalesce(CAST(doc_id AS VARCHAR), '__NULL_KEY__') || ':42'), 1, 8) AS UBIGINT) % 1000000 % (SELECT n FROM nb) AS INT) AS pack_bucket
         | FROM documents
         | WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0),
         |c AS (

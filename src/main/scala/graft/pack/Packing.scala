@@ -28,6 +28,64 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Rows eligible for packing — the SAME filter everywhere (bucket
+    * sizing must count exactly the rows the packer will see).
+    */
+  private def packable(df: DataFrame, idCol: String, weightCol: String): DataFrame =
+    df.where(col(idCol).isNotNull &&
+      col(weightCol).isNotNull && col(weightCol) > 0)
+
+  /** Derive the bucket count from the data so per-bucket window sorts
+    * stay BOUNDED at any input size: `ceil(packableRows /
+    * targetRowsPerBucket)`, clamped to [1, 65536]. A fixed bucket
+    * count makes each bucket one task sorting ~N/buckets of the corpus
+    * — at 100 TB that is terabytes per task; deriving the count keeps
+    * every sort ≤ targetRowsPerBucket rows regardless of scale. The
+    * count() is metadata-cheap on parquet (no column reads), and the
+    * derivation is a closed form over it, so an external oracle can
+    * recompute the identical bucket count from the same table.
+    */
+  def autoBucketCount(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      targetRowsPerBucket: Long = 1L << 20): Int = {
+    require(targetRowsPerBucket > 0,
+      s"targetRowsPerBucket must be positive, got $targetRowsPerBucket")
+    val n = packable(df, idCol, weightCol).count()
+    val raw = (n + targetRowsPerBucket - 1) / targetRowsPerBucket
+    math.max(1L, math.min(raw, 1L << 16)).toInt
+  }
+
+  /** [[packByBudget]] with the bucket count derived from the input size
+    * ([[autoBucketCount]]) — the default at-scale entry point; the
+    * explicit-`nBuckets` overload remains for callers that must pin the
+    * layout (e.g. to replay a historical run).
+    */
+  def packByBudgetAuto(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      budget: Long,
+      targetRowsPerBucket: Long = 1L << 20,
+      seed: Long = 42L): DataFrame =
+    packByBudget(df, idCol, weightCol, budget,
+      autoBucketCount(df, idCol, weightCol, targetRowsPerBucket), seed)
+
+  /** [[packSummary]] over [[packByBudgetAuto]]. */
+  def packSummaryAuto(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      budget: Long,
+      targetRowsPerBucket: Long = 1L << 20,
+      seed: Long = 42L): DataFrame =
+    packByBudgetAuto(df, idCol, weightCol, budget, targetRowsPerBucket, seed)
+      .groupBy(col("pack_bucket"), col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(weightCol).cast("long")).as("total_weight"))
+
   /** Adds `pack_bucket` and `pack_id` to every row. Rows with null id
     * or null/≤0 weight are excluded (a doc with no tokens has no place
     * in a pack).
@@ -45,8 +103,7 @@ object Packing {
       .partitionBy(col("pack_bucket"))
       .orderBy(col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.where(col(idCol).isNotNull &&
-        col(weightCol).isNotNull && col(weightCol) > 0)
+    packable(df, idCol, weightCol)
       .withColumn("pack_bucket",
         (Sampling.bucket(col(idCol), seed) % nBuckets).cast("int"))
       .withColumn("__cum", sum(col(weightCol).cast("long")).over(w))

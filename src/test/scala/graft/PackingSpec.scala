@@ -38,6 +38,29 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("auto bucket count bounds per-bucket rows at any input size") {
+    val target = 100L
+    // two input sizes: 500 rows (sf0.01 docs) and ~5x that via union
+    val small = docs
+    val large = (1 to 5).map(i =>
+      docs.withColumn("doc_id", $"doc_id" + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+    Seq(small, large).foreach { df =>
+      val n = df.where($"doc_id".isNotNull && $"n_chars".isNotNull && $"n_chars" > 0).count()
+      val nb = Packing.autoBucketCount(df, "doc_id", "n_chars", target)
+      assert(nb === math.max(1L, (n + target - 1) / target).toInt)
+      val perBucket = Packing
+        .packByBudgetAuto(df, "doc_id", "n_chars", 2000L, target)
+        .groupBy($"pack_bucket").count().agg(max($"count")).head().getLong(0)
+      // md5 spread is uniform-ish: no bucket should exceed ~3x target
+      assert(perBucket <= 3 * target,
+        s"bucket of $perBucket rows at n=$n, nb=$nb — sizing not bounded")
+    }
+    // derived counts actually differ between the two sizes
+    assert(Packing.autoBucketCount(large, "doc_id", "n_chars", target) >
+      Packing.autoBucketCount(small, "doc_id", "n_chars", target))
+  }
+
   test("packing is deterministic and parallelism-invariant") {
     def run(parts: Int) = Packing
       .packByBudget(docs.repartition(parts), "doc_id", "n_chars", 2000L, nBuckets = 16)
