@@ -44,4 +44,71 @@ object Validator {
   /** Rows with zero violations (the validated/clean subset). */
   def clean(df: DataFrame, schema: Schema): DataFrame =
     annotate(df, schema).where(col("n_violations") === 0).drop("n_violations")
+
+  /** Per-ELEMENT validation of an `array<struct>` column — the Cerberus
+    * `schema`-on-list rule (validate every element of the list against
+    * a sub-schema; the reference's strict deserialization validates
+    * each element of `Vec<Account>`, rust/src/lib.rs:81-83).
+    *
+    * `elemSchema` field names are relative to the element struct
+    * (including its `dependencies`, which reference SIBLING element
+    * fields). Output rows mirror [[violations]] but with INDEXED field
+    * paths: `arrayCol[3].name` — so downstream verdict rollups consume
+    * element violations exactly like row violations.
+    *
+    * Null/empty arrays produce no element violations (whether the array
+    * may be null/empty is the ARRAY field's own rule, validated by the
+    * normal row schema). Plan: posexplode → the same compiled when-
+    * struct projection as the row path → filter — one codegen stage,
+    * still shuffle-free; row amplification is the array cardinality,
+    * which is the irreducible cost of per-element semantics.
+    */
+  def elementViolations(
+      df: DataFrame,
+      elemSchema: Schema,
+      arrayCol: String,
+      keyCols: Seq[String]): DataFrame = {
+    val prefixed = Schema(elemSchema.fields.map { case (name, spec) =>
+      (s"__elem.$name",
+        spec.copy(dependencies = spec.dependencies.map { case (k, v) =>
+          (s"__elem.$k", v)
+        }))
+    })
+    val keys: Seq[Column] = keyCols.map(col)
+    val exploded = df.select(keys :+ posexplode(col(arrayCol)): _*)
+      .withColumnRenamed("pos", "__pos")
+      .withColumnRenamed("col", "__elem")
+    val structs = RuleCompiler.compile(prefixed).map { r =>
+      when(
+        r.fails,
+        struct(
+          concat(lit(s"$arrayCol["), col("__pos"), lit("]."),
+            lit(r.field.stripPrefix("__elem."))).as("field"),
+          lit(r.rule).as("rule"),
+          r.value.as("value"),
+          lit(r.severity).as("severity")))
+    }
+    exploded
+      .select(keys :+ explode(array(structs: _*)).as("v"): _*)
+      .where(col("v").isNotNull)
+      .select(keys :+ col("v.field") :+ col("v.rule") :+ col("v.value")
+        :+ col("v.severity"): _*)
+  }
+
+  /** Re-aggregated element-violation counts per input row: `(…keyCols,
+    * n_elem_violations, n_elem_errors)` — the per-row rollup that joins
+    * back against the parent frame (rows with no element violations are
+    * absent; treat as zero).
+    */
+  def elementViolationCounts(
+      df: DataFrame,
+      elemSchema: Schema,
+      arrayCol: String,
+      keyCols: Seq[String]): DataFrame =
+    elementViolations(df, elemSchema, arrayCol, keyCols)
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_elem_violations"),
+        sum(when(col("severity") === graft.schema.Severity.Warning, 0L)
+          .otherwise(1L)).as("n_elem_errors"))
 }

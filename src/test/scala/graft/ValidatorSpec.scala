@@ -208,6 +208,48 @@ class ValidatorSpec extends SparkSpec {
     }
   }
 
+  test("array elements: each element validated, violation paths indexed") {
+    // Element-wise strict schema over a list (reference: every element
+    // of Vec<Account> is schema-checked, rust/src/lib.rs:81-83).
+    val df = Seq(
+      (1L, Seq(("alice", 10L), ("", 500L))), // elem 1 name empty-fails regex
+      (2L, Seq((null.asInstanceOf[String], 3L))), // required + min
+      (3L, Seq.empty[(String, Long)]), // empty array → no element rows
+      (4L, Seq(("bob", 99L), ("carol", 100L))) // min fires only on elem 0
+    ).toDF("id", "accounts")
+      .select($"id", $"accounts".cast("array<struct<name:string,n:bigint>>"))
+    val elemSchema = Schema.of(
+      "name" -> FieldSpec(required = true, regex = Some("[a-z]+")),
+      "n" -> FieldSpec(min = Some(100d)))
+    val v = Validator.elementViolations(df, elemSchema, "accounts", Seq("id"))
+      .select($"id", $"field", $"rule")
+      .as[(Long, String, String)].collect().toSet
+    assert(v === Set(
+      (1L, "accounts[0].n", "min"),
+      (1L, "accounts[1].name", "regex"),
+      (2L, "accounts[0].name", "required"),
+      (2L, "accounts[0].n", "min"),
+      (4L, "accounts[0].n", "min")))
+    // re-aggregation: per-row counts
+    assert(Validator.elementViolationCounts(df, elemSchema, "accounts", Seq("id"))
+      .select($"id", $"n_elem_violations").as[(Long, Long)].collect().toMap ===
+      Map(1L -> 2L, 2L -> 2L, 4L -> 1L))
+  }
+
+  test("array elements: dependencies reference sibling element fields") {
+    val df = Seq(
+      (1L, Seq(("x", "active"), ("y", null.asInstanceOf[String])))
+    ).toDF("id", "accounts")
+      .select($"id", $"accounts".cast("array<struct<name:string,state:string>>"))
+    val elemSchema = Schema.of(
+      "name" -> FieldSpec(dependencies = Map("state" -> Seq("active"))),
+      "state" -> FieldSpec())
+    val v = Validator.elementViolations(df, elemSchema, "accounts", Seq("id"))
+      .select($"field", $"rule").as[(String, String)].collect().toSet
+    // elem 0: state=active → ok; elem 1: state null → dependencies fires
+    assert(v === Set(("accounts[1].name", "dependencies")))
+  }
+
   test("severity: a typo'd ruleSeverity key is rejected, not silently ignored") {
     assertThrows[IllegalArgumentException] {
       FieldSpec(minLength = Some(3),
