@@ -53,7 +53,11 @@ object Dedup {
   // 1. Exact dedup (hash groupBy)
   // -------------------------------------------------------------------
 
-  private def contentHash(textCol: String): Column =
+  /** The exact-dedup grouping key: sha256 of the normalized content —
+    * public so compositions (e.g. the one-pass pipeline funnel) can
+    * window over the SAME key the dedup operators use.
+    */
+  def contentHash(textCol: String): Column =
     sha2(TextAnalysis.normalizeText(col(textCol)), 256)
 
   /** One row per duplicated content hash: (content_sha, n_rows, keep_id). */

@@ -7,6 +7,7 @@ import graft.sample.Sampling
 import graft.schema.Schema
 import graft.text.TextAnalysis
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus curation: the composition a training-data user
@@ -77,38 +78,71 @@ object CorpusPipeline {
     * deduped / quality / sampled, plus the final pack count — the
     * auditable funnel a curation run reports.
     *
-    * The post-dedup frame is the longest lineage prefix shared by four
-    * of the six stage counts — it is persisted into `scope` (released
-    * by the caller, cf. [[graft.util.CacheScope]]) so the validate +
-    * dedup window runs once, not four times.
+    * ONE-PASS: every row is tagged with the furthest stage it survives
+    * (validation/quality/sampling are per-row flags; the dedup survivor
+    * and the pack assignment come from conditional window sums over the
+    * same keys the standalone operators use), and all six counts fall
+    * out of a SINGLE aggregation — one job, one scan, two keyed window
+    * exchanges, instead of six jobs over a cached lineage prefix.
+    * Semantics are identical to running the stages separately (pinned
+    * by PipelineSpec against [[curate]] and by the exact DuckDB replay
+    * of `q_pipeline_documents`).
     */
-  def metrics(
-      docs: DataFrame,
-      cfg: Config,
-      scope: graft.util.CacheScope = graft.util.CacheScope.shared): DataFrame = {
-    val clean = docs
-      .withColumn("__n_err", RuleCompiler.errorCount(cfg.schema))
-      .where(col("__n_err") === 0)
-      .drop("__n_err")
-    val deduped = scope.cache(Dedup.exactDedup(clean, cfg.idCol, cfg.textCol))
-    val scored = TextAnalysis.qualityFeatures(deduped, cfg.textCol)
-      .where(col("quality") >= cfg.qualityMin)
-    val sampled = packable(
-      Sampling.stratified(scored, cfg.idCol, cfg.strataCol,
-        cfg.sampleRates, cfg.defaultRate, cfg.seed), cfg)
-    val packed = Packing.packByBudget(sampled
-        .withColumn("__w", length(col(cfg.textCol))),
-      cfg.idCol, "__w", cfg.packBudget, cfg.packBuckets, cfg.seed)
-
-    def stage(name: String, df: DataFrame) =
-      df.agg(count(lit(1)).as("n_rows")).select(lit(name).as("stage"), col("n_rows"))
-
-    stage("0_input", docs)
-      .unionByName(stage("1_validated", clean))
-      .unionByName(stage("2_deduped", deduped))
-      .unionByName(stage("3_quality", scored))
-      .unionByName(stage("4_sampled", sampled))
-      .unionByName(stage("5_packs",
-        packed.select(col("pack_bucket"), col("pack_id")).distinct()))
+  def metrics(docs: DataFrame, cfg: Config): DataFrame = {
+    val spark = docs.sparkSession
+    // Stage flags. s1: zero failing-channel violations.
+    val s1 = RuleCompiler.errorCount(cfg.schema) === 0
+    // s2: the min-id validated row of its content-hash group — a
+    // conditional rank: "first validated row in hash-group id order"
+    // ≡ Dedup.exactDedup(validated rows) keeping rn=1.
+    val wHash = Window
+      .partitionBy(Dedup.contentHash(cfg.textCol))
+      .orderBy(col(cfg.idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // s3/s4: pure projections (quality score, deterministic sampling,
+    // packability) — identical per-row values at any composition depth.
+    val s3 = col("quality") >= cfg.qualityMin
+    val s4 = Sampling.stratifiedKeep(cfg.idCol, cfg.strataCol,
+      cfg.sampleRates, cfg.defaultRate, cfg.seed) &&
+      col(cfg.idCol).isNotNull && length(col(cfg.textCol)) > 0
+    val tagged = TextAnalysis.qualityFeatures(docs, cfg.textCol)
+      .withColumn("__s1", s1 && col(cfg.textCol).isNotNull)
+      .withColumn("__valid", s1) // validated stage counts null-text rows too
+      .withColumn("__rk",
+        sum(when(col("__s1"), 1L).otherwise(0L)).over(wHash))
+      .withColumn("__s2", col("__s1") && col("__rk") === 1L)
+      .withColumn("__s3", col("__s2") && s3)
+      .withColumn("__s4", col("__s3") && s4)
+    // Pack assignment for stage-4 survivors: the SAME bucket/cumsum
+    // arithmetic as Packing.packByBudget, restricted to surviving rows
+    // via a conditional window sum (non-survivors contribute zero).
+    val wBucket = Window
+      .partitionBy(col("__bucket"))
+      .orderBy(col(cfg.idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val weight = length(col(cfg.textCol))
+    val packed = tagged
+      .withColumn("__bucket",
+        (Sampling.bucket(col(cfg.idCol), cfg.seed) % cfg.packBuckets).cast("int"))
+      .withColumn("__cum",
+        sum(when(col("__s4"), weight.cast("long")).otherwise(0L)).over(wBucket))
+      .withColumn("__pack",
+        when(col("__s4"), floor((col("__cum") - weight) / cfg.packBudget).cast("long")))
+    val agg = packed.agg(
+      count(lit(1)).as("n0"),
+      sum(when(col("__valid"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("__s2"), 1L).otherwise(0L)).as("n2"),
+      sum(when(col("__s3"), 1L).otherwise(0L)).as("n3"),
+      sum(when(col("__s4"), 1L).otherwise(0L)).as("n4"),
+      countDistinct(when(col("__s4"),
+        struct(col("__bucket"), col("__pack")))).as("n5"))
+    agg.select(explode(array(
+      struct(lit("0_input").as("stage"), col("n0").as("n_rows")),
+      struct(lit("1_validated").as("stage"), col("n1").as("n_rows")),
+      struct(lit("2_deduped").as("stage"), col("n2").as("n_rows")),
+      struct(lit("3_quality").as("stage"), col("n3").as("n_rows")),
+      struct(lit("4_sampled").as("stage"), col("n4").as("n_rows")),
+      struct(lit("5_packs").as("stage"), col("n5").as("n_rows")))).as("s"))
+      .select(col("s.stage").as("stage"), col("s.n_rows").as("n_rows"))
   }
 }

@@ -61,13 +61,25 @@ object Sampling {
       strataCol: String,
       rates: Map[String, Double],
       defaultRate: Double = 1.0,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L): DataFrame =
+    df.where(stratifiedKeep(keyCol, strataCol, rates, defaultRate, seed))
+
+  /** The stratified keep/drop DECISION as a boolean column — reusable
+    * as a flag inside one-pass multi-stage aggregations (e.g. the
+    * pipeline funnel), not just as a filter.
+    */
+  def stratifiedKeep(
+      keyCol: String,
+      strataCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 1.0,
+      seed: Long = 42L): Column = {
     (rates.values.toSeq :+ defaultRate).foreach(r =>
       require(r >= 0d && r <= 1d, s"rates must be in [0,1], got $r"))
     val rateCol = rates.foldLeft(lit(threshold(defaultRate))) {
       case (acc, (stratum, r)) =>
         when(col(strataCol) === stratum, lit(threshold(r))).otherwise(acc)
     }
-    df.where(bucket(col(keyCol), seed) < rateCol)
+    bucket(col(keyCol), seed) < rateCol
   }
 }
