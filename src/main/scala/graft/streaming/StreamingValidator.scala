@@ -71,6 +71,40 @@ object StreamingValidator {
         // pass = no failing-channel (≥ error) violations, same as batch
         (sum(col("__n_err").cast("long")) === 0L).as("pass"))
 
+  /** Gap-based SESSION-window verdicts — the streaming mirror of
+    * [[graft.temporal.Temporal.sessionize]] for live pipelines: events
+    * of one `partitionCol` value belong to a session while consecutive
+    * gaps stay under `gapDuration`; the watermark closes sessions (in
+    * append mode a session row is emitted once the watermark passes its
+    * end — state stays bounded on an endless stream).
+    *
+    * Output: `(session_window: struct<start,end>, partitionCol, n_rows,
+    * n_violations, pass)` — one verdict per session.
+    *
+    * Boundary semantics: Spark's `session_window` is end-EXCLUSIVE (a
+    * session ends at lastEvent + gap, and an event exactly at the
+    * boundary starts a NEW session), while the batch
+    * `Temporal.sessionize` keeps an event at exactly `gapSeconds` in
+    * the SAME session (`gap > gapSeconds` splits). Identical everywhere
+    * except gaps exactly equal to the threshold.
+    */
+  def sessionWindowedVerdicts(
+      stream: DataFrame,
+      schema: Schema,
+      tsCol: String,
+      partitionCol: String,
+      gapDuration: String = "30 minutes",
+      watermarkDelay: String = "1 minute"): DataFrame =
+    annotate(stream, schema)
+      .withColumn("__n_err", RuleCompiler.errorCount(schema))
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gapDuration), col(partitionCol))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("n_violations").cast("long")).as("n_violations"),
+        (sum(col("__n_err").cast("long")) === 0L).as("pass"))
+
   /** ST4/ST6 — stateful keyed verdict view: maintains, per key, the
     * RUNNING violation totals across micro-batches (the analog of the
     * reference's keyed `otpCodes` view updated in place per tick,

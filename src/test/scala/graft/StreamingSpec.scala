@@ -113,6 +113,76 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows: gap semantics + watermark closing, deterministic example") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, String, Double, java.sql.Timestamp)]
+    val df = input.toDF.toDF("event_id", "event_type", "value", "ts")
+    val q = StreamingValidator
+      .sessionWindowedVerdicts(df, evSchema, "ts", "event_type",
+        gapDuration = "40 seconds", watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("session_verdicts")
+      .outputMode("append").start()
+    try {
+      // clicks at t=0 and t=30 merge (gap 30 < 40); t=120 is a new
+      // session; the 999 value is a violation in session 1.
+      input.addData(
+        (1L, "click", 10.0, ts("2026-01-01 00:00:00")),
+        (2L, "click", 999.0, ts("2026-01-01 00:00:30")),
+        (3L, "click", 5.0, ts("2026-01-01 00:02:00")))
+      q.processAllAvailable()
+      // watermark advancer: a later event closes both click sessions
+      input.addData((4L, "view", 1.0, ts("2026-01-01 01:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("session_verdicts").collect()
+        .filter(_.getAs[String]("event_type") === "click")
+        .sortBy(_.getAs[org.apache.spark.sql.Row]("session_window")
+          .getAs[java.sql.Timestamp]("start").getTime)
+      assert(rows.length === 2)
+      val s1 = rows(0); val s2 = rows(1)
+      assert(s1.getAs[Long]("n_rows") === 2L &&
+        s1.getAs[Long]("n_violations") === 1L &&
+        !s1.getAs[Boolean]("pass"))
+      val w1 = s1.getAs[org.apache.spark.sql.Row]("session_window")
+      // session end = last event + gap (end-exclusive)
+      assert(w1.getAs[java.sql.Timestamp]("start") === ts("2026-01-01 00:00:00"))
+      assert(w1.getAs[java.sql.Timestamp]("end") === ts("2026-01-01 00:01:10"))
+      assert(s2.getAs[Long]("n_rows") === 1L && s2.getAs[Boolean]("pass"))
+    } finally q.stop()
+  }
+
+  test("session windows: streaming output matches the batch session rollup on real events") {
+    val src = Files.createTempDirectory("graft-stream-src4").toString
+    val batch = spark.read.parquet(sf("sf0.001") + "/events.parquet")
+    batch.write.mode("overwrite").parquet(src)
+
+    val stream = spark.readStream.schema(batch.schema).parquet(src)
+    val q = StreamingValidator
+      .sessionWindowedVerdicts(stream, evSchema, "ts", "event_type",
+        gapDuration = "30 minutes", watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("session_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val got = spark.table("session_stream")
+    assert(got.count() > 0)
+    // batch replay of the same session rollup; append mode only emits
+    // sessions the final watermark closed
+    val maxTs = batch.agg(max(col("ts").cast("timestamp"))).first().getTimestamp(0)
+    val watermark = new java.sql.Timestamp(maxTs.getTime - 60000L)
+    val batchRollup = graft.validate.Validator
+      .annotate(batch.withColumn("ts", col("ts").cast("timestamp")), evSchema)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_violations").cast("long")).as("n_violations"),
+        (sum(col("n_violations").cast("long")) === 0L).as("pass"))
+      .where(col("session_window.end") <= lit(watermark))
+    assert(got.count() === batchRollup.count())
+    assert(got.exceptAll(batchRollup).isEmpty)
+  }
+
   test("windowed verdicts roll up violation counts per tumbling window") {
     val src = Files.createTempDirectory("graft-stream-src2").toString
     val batch = spark.read.parquet(sf("sf0.001") + "/events.parquet")
