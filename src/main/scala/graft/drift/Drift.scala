@@ -36,6 +36,83 @@ object Drift {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Interior bin edges derived from the BASELINE's quantiles —
+    * auto-binning for [[compareWithEdges]]: `nBins − 1` edges at
+    * i/nBins for i = 1..nBins−1, so baseline mass is ~equal per bin
+    * (the equal-width foot-gun — a mis-chosen [lo, hi) cramming the
+    * real mass into two edge bins — disappears, and at 100 TB nobody
+    * has to run a separate min/max pass to find ranges). `exact = false`
+    * uses the approx_percentile sketch (the scale path); callers that
+    * must replay the binning in an external oracle use `exact = true`
+    * (same type-7 interpolation as DuckDB `quantile_cont` — pinned by
+    * StatsSpec/`q_quantiles_lineitem`).
+    */
+  def quantileEdges(
+      base: DataFrame,
+      valueCol: String,
+      nBins: Int,
+      exact: Boolean = false): Array[Double] = {
+    require(nBins >= 2, s"auto-binning needs nBins >= 2, got $nBins")
+    val qs = (1 until nBins).map(_.toDouble / nBins)
+    graft.stats.ColumnStats.quantiles(
+        base.where(col(valueCol).isNotNull), valueCol, Nil, qs, exact)
+      .orderBy(col("q"))
+      .collect()
+      .map(r => r.getDouble(1))
+  }
+
+  /** Histogram over EXPLICIT ascending edges: bin(v) = number of edges
+    * ≤ v, i.e. bin 0 = (-inf, e0), bin i = [e_{i−1}, e_i), last bin =
+    * [e_last, +inf) — every value lands in exactly one of
+    * `edges.length + 1` bins with no clamping. Plain integer adds
+    * (codegen'd), no higher-order functions.
+    */
+  def binsByEdges(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      edges: Array[Double]): DataFrame = {
+    require(edges.nonEmpty && edges.sameElements(edges.sorted),
+      "edges must be non-empty and ascending")
+    val v = col(valueCol).cast("double")
+    val bin = edges.foldLeft(lit(0L)) { (acc, e) =>
+      acc + when(v >= e, 1L).otherwise(0L)
+    }.as("bin")
+    df.where(col(valueCol).isNotNull)
+      .groupBy((groupCols.map(col) :+ bin): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** PSI + KS over an explicit edge set (see [[binsByEdges]]). */
+  def compareWithEdges(
+      cur: DataFrame,
+      base: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      edges: Array[Double],
+      eps: Double = 1e-6): DataFrame = {
+    val c = binsByEdges(cur, valueCol, groupCols, edges)
+      .withColumnRenamed("n", "n_cur")
+    val b = binsByEdges(base, valueCol, groupCols, edges)
+      .withColumnRenamed("n", "n_base")
+    scoreBins(c.join(b, groupCols :+ "bin", "full_outer"), groupCols, eps)
+  }
+
+  /** [[compare]] with AUTO-derived binning: edges come from the
+    * baseline's own quantiles ([[quantileEdges]]) instead of caller
+    * `lo`/`hi`/width guesses.
+    */
+  def compareAuto(
+      cur: DataFrame,
+      base: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      nBins: Int,
+      exact: Boolean = false,
+      eps: Double = 1e-6): DataFrame =
+    compareWithEdges(cur, base, valueCol, groupCols,
+      quantileEdges(base, valueCol, nBins, exact), eps)
+
   /** The persistable baseline sketch: per-(group, bin) counts. O(groups
     * × nBins) rows — write it once per baseline snapshot
     * (`sketch(df,…).write.parquet(…)`), then score any later snapshot

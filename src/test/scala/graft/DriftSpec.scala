@@ -81,6 +81,37 @@ class DriftSpec extends SparkSpec {
     viaSketch.values.foreach { case (psi, ks) => assert(psi < 0.1 && ks < 0.1) }
   }
 
+  test("auto-binning: quantile edges are exact on a known grid; auto == explicit edges") {
+    // values 0..100 → type-7 quartile positions are integral → edges
+    // are exact data values, no interpolation arithmetic
+    val base = spark.range(0, 101).select(lit("g").as("g"), col("id").cast("double").as("v"))
+    val edges = Drift.quantileEdges(base, "v", nBins = 4, exact = true)
+    assert(edges.toSeq === Seq(25.0, 50.0, 75.0))
+    val cur = spark.range(0, 101).select(lit("g").as("g"),
+      (col("id").cast("double") * 0.9 + 5).as("v"))
+    val auto = Drift.compareAuto(cur, base, "v", Seq("g"), nBins = 4, exact = true)
+      .collect().toSeq
+    val explicit = Drift.compareWithEdges(cur, base, "v", Seq("g"), edges)
+      .collect().toSeq
+    assert(auto === explicit)
+    // boundary semantics: bin = number of edges <= v (no clamping)
+    val b = Drift.binsByEdges(
+        Seq(("g", 24.999), ("g", 25.0), ("g", 100.0), ("g", -5.0)).toDF("g", "v"),
+        "v", Seq("g"), edges)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(b === Map(0L -> 2L, 1L -> 1L, 3L -> 1L))
+  }
+
+  test("auto-binning: approx sketch edges track exact within tolerance") {
+    val base = spark.range(0, 10000).select(lit("g").as("g"),
+      pmod(col("id") * 37L, lit(1000L)).cast("double").as("v"))
+    val exact = Drift.quantileEdges(base, "v", nBins = 5, exact = true)
+    val approx = Drift.quantileEdges(base, "v", nBins = 5, exact = false)
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(math.abs(e - a) <= 10d, s"approx edge $a far from exact $e")
+    }
+  }
+
   test("categorical drift: identical distributions score ~0; a shifted category is detected") {
     import spark.implicits._
     val a = Seq.fill(50)("s1") ++ Seq.fill(30)("s2") ++ Seq.fill(20)("s3")
