@@ -127,9 +127,34 @@ object SparkEntry {
   // Contract maps.
   // ---------------------------------------------------------------------
 
+  /** Element sub-schema for the array<struct> validation entry
+    * (Cerberus `schema`-on-list; reference grounding: element-wise
+    * strict schema over Vec<Account>, rust/src/lib.rs:81-83).
+    */
+  private val accountElemSchema = Schema.of(
+    "name" -> FieldSpec(required = true, regex = Some("src[0-9]{1,2}")),
+    "n" -> FieldSpec(min = Some(100d), max = Some(500d)))
+
+  /** documents + a derived `accounts: array<struct<name,n>>` column —
+    * element 0 from (source, n_chars), element 1 from (lang,
+    * n_chars − 200) so every element rule fires on real rows. Mirrored
+    * exactly by the `q_validate_elements_documents` oracle.
+    */
+  private def docsWithAccounts(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      array(
+        struct(col("source").as("name"), col("n_chars").as("n")),
+        struct(col("lang").as("name"), (col("n_chars") - lit(200L)).as("n")))
+        .as("accounts"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_validate_documents" -> ((s, dir) =>
       Validator.violations(docs(s, dir), docSchema, Seq("doc_id"))),
+    "q_validate_elements_documents" -> ((s, dir) =>
+      // Per-element array<struct> validation: indexed violation paths
+      // like accounts[1].name (explode → compiled rules → filter).
+      Validator.elementViolations(docsWithAccounts(s, dir),
+        accountElemSchema, "accounts", Seq("doc_id"))),
     "q_verdict_documents" -> ((s, dir) =>
       Verdict.compute(docs(s, dir), docSchema, "lang")),
     "q_verdict_rollup_documents" -> ((s, dir) =>
@@ -232,6 +257,17 @@ object SparkEntry {
         ev.where(pmod(col("event_id"), lit(2)) === 0),
         ev.where(pmod(col("event_id"), lit(2)) === 1),
         "value", Seq("event_type"), nBins = 25, lo = 0d, hi = 500d)
+    }),
+    "q_drift_auto_events" -> ((s, dir) => {
+      // AUTO-binned drift: edges derived from the BASELINE's quantiles
+      // (equal-mass bins — no caller lo/hi guesses); exact percentile
+      // here so the oracle recomputes identical edges via quantile_cont
+      // (the 100 TB path is exact=false, the approx_percentile sketch).
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      Drift.compareAuto(
+        ev.where(pmod(col("event_id"), lit(2)) === 0),
+        ev.where(pmod(col("event_id"), lit(2)) === 1),
+        "value", Seq("event_type"), nBins = 4, exact = true)
     }),
 
     // --- training-data pipeline: text analysis -------------------------
@@ -347,7 +383,16 @@ object SparkEntry {
 
     // --- training-data pipeline: multimodal plumbing (stub decode) -----
     "q_multimodal_meta" -> ((s, _) =>
-      Multimodal.metaSummary(mediaTable(s)))
+      Multimodal.metaSummary(mediaTable(s))),
+    "q_multimodal_decode" -> ((s, _) =>
+      // Exercises the mapPartitions decode path itself: the stub header
+      // math is deterministic and replayed byte-for-byte by the oracle
+      // over the same materialized parquet (sha256 column excluded —
+      // DuckDB 1.0 has no BLOB sha; content identity is covered by
+      // q_multimodal_meta's distinct-blob count).
+      Multimodal.decodeImageMeta(mediaTable(s))
+        .select(col("media_id"), col("width"), col("height"),
+          col("channels"), col("size_bytes")))
   )
 
   /** Deterministic synthetic media table, materialized ONCE to a fixed
@@ -366,8 +411,24 @@ object SparkEntry {
     s.read.parquet(mediaPath)
   }
 
+  /** Element-rule replay for the accounts array: element 0 = (source,
+    * n_chars), element 1 = (lang, n_chars − 200); same rule predicates
+    * as RuleCompiler emits, with indexed field paths.
+    */
+  private val elemViolationsSql: String = {
+    // (elemIdx, nameExpr, nExpr)
+    val elems = Seq((0, "source", "n_chars"), (1, "lang", "n_chars - 200"))
+    elems.flatMap { case (i, nm, nv) => Seq(
+      s"SELECT doc_id, 'accounts[$i].name' AS field, 'required' AS rule, CAST(NULL AS VARCHAR) AS value, 'error' AS severity FROM documents WHERE $nm IS NULL",
+      s"SELECT doc_id, 'accounts[$i].name' AS field, 'regex' AS rule, $nm AS value, 'error' AS severity FROM documents WHERE $nm IS NOT NULL AND NOT regexp_full_match($nm, 'src[0-9]{1,2}')",
+      s"SELECT doc_id, 'accounts[$i].n' AS field, 'min' AS rule, CAST($nv AS VARCHAR) AS value, 'error' AS severity FROM documents WHERE ($nv) IS NOT NULL AND ($nv) < 100",
+      s"SELECT doc_id, 'accounts[$i].n' AS field, 'max' AS rule, CAST($nv AS VARCHAR) AS value, 'error' AS severity FROM documents WHERE ($nv) IS NOT NULL AND ($nv) > 500"
+    )}.mkString(" UNION ALL ")
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_validate_documents" -> docViolationsSql,
+    "q_validate_elements_documents" -> elemViolationsSql,
     "q_verdict_documents" ->
       s"""SELECT lang, count(*) AS n_rows,
          | CAST(SUM(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_rows,
@@ -542,6 +603,50 @@ object SparkEntry {
         |base AS (
         |  SELECT event_type,
         |   CAST(least(greatest(floor(CAST(value AS DOUBLE) / 20.0), 0), 24) AS BIGINT) AS bin,
+        |   count(*) AS n_base
+        |  FROM events WHERE value IS NOT NULL AND event_id % 2 = 1 GROUP BY 1, 2),
+        |j AS (
+        |  SELECT coalesce(cur.event_type, base.event_type) AS event_type,
+        |   coalesce(cur.bin, base.bin) AS bin,
+        |   CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur,
+        |   CAST(coalesce(n_base, 0) AS BIGINT) AS n_base
+        |  FROM cur FULL OUTER JOIN base
+        |   ON cur.event_type = base.event_type AND cur.bin = base.bin),
+        |f AS (
+        |  SELECT event_type, bin, n_cur, n_base,
+        |   n_cur / CAST(sum(n_cur) OVER (PARTITION BY event_type) AS DOUBLE) AS p,
+        |   n_base / CAST(sum(n_base) OVER (PARTITION BY event_type) AS DOUBLE) AS q
+        |  FROM j),
+        |t AS (
+        |  SELECT event_type, bin, n_cur, n_base, p, q,
+        |   (greatest(p, 1e-6) - greatest(q, 1e-6)) * ln(greatest(p, 1e-6) / greatest(q, 1e-6)) AS psi_term,
+        |   sum(p) OVER (PARTITION BY event_type ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cdf_p,
+        |   sum(q) OVER (PARTITION BY event_type ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cdf_q
+        |  FROM f)
+        |SELECT event_type, CAST(sum(n_cur) AS BIGINT) AS n_cur,
+        | CAST(sum(n_base) AS BIGINT) AS n_base,
+        | round(sum(psi_term), 6) AS psi,
+        | round(max(abs(cdf_p - cdf_q)), 6) AS ks
+        |FROM t GROUP BY event_type""".stripMargin,
+
+    "q_drift_auto_events" ->
+      """WITH ed AS (
+        |  SELECT quantile_cont(CAST(value AS DOUBLE), 0.25) AS e1,
+        |         quantile_cont(CAST(value AS DOUBLE), 0.50) AS e2,
+        |         quantile_cont(CAST(value AS DOUBLE), 0.75) AS e3
+        |  FROM events WHERE value IS NOT NULL AND event_id % 2 = 1),
+        |cur AS (
+        |  SELECT event_type,
+        |   CAST((CASE WHEN CAST(value AS DOUBLE) >= (SELECT e1 FROM ed) THEN 1 ELSE 0 END)
+        |      + (CASE WHEN CAST(value AS DOUBLE) >= (SELECT e2 FROM ed) THEN 1 ELSE 0 END)
+        |      + (CASE WHEN CAST(value AS DOUBLE) >= (SELECT e3 FROM ed) THEN 1 ELSE 0 END) AS BIGINT) AS bin,
+        |   count(*) AS n_cur
+        |  FROM events WHERE value IS NOT NULL AND event_id % 2 = 0 GROUP BY 1, 2),
+        |base AS (
+        |  SELECT event_type,
+        |   CAST((CASE WHEN CAST(value AS DOUBLE) >= (SELECT e1 FROM ed) THEN 1 ELSE 0 END)
+        |      + (CASE WHEN CAST(value AS DOUBLE) >= (SELECT e2 FROM ed) THEN 1 ELSE 0 END)
+        |      + (CASE WHEN CAST(value AS DOUBLE) >= (SELECT e3 FROM ed) THEN 1 ELSE 0 END) AS BIGINT) AS bin,
         |   count(*) AS n_base
         |  FROM events WHERE value IS NOT NULL AND event_id % 2 = 1 GROUP BY 1, 2),
         |j AS (
@@ -768,6 +873,17 @@ object SparkEntry {
          | CAST(max(octet_length(bytes)) AS INT) AS max_bytes,
          | count(DISTINCT bytes) AS n_distinct
          |FROM read_parquet('$mediaPath/*.parquet')
-         |GROUP BY kind""".stripMargin
+         |GROUP BY kind""".stripMargin,
+    // Stub decode replay: width/height from the first two bytes
+    // (b & 0x7f ≡ b % 128 on 0..255; bytes sliced via the hex string —
+    // DuckDB 1.0 substring has no BLOB overload), channels by kind.
+    // Blocks are always ≥ 32 bytes so bytes 1..2 exist.
+    "q_multimodal_decode" ->
+      s"""SELECT media_id,
+         | CAST(16 + (CAST('0x' || substring(hex(bytes), 1, 2) AS INT) % 128) * 8 AS INT) AS width,
+         | CAST(16 + (CAST('0x' || substring(hex(bytes), 3, 2) AS INT) % 128) * 8 AS INT) AS height,
+         | CAST(CASE WHEN kind = 'image' THEN 3 ELSE 1 END AS INT) AS channels,
+         | CAST(octet_length(bytes) AS BIGINT) AS size_bytes
+         |FROM read_parquet('$mediaPath/*.parquet')""".stripMargin
   )
 }

@@ -90,12 +90,23 @@ object TableIO {
     * op. Size comes from file-listing METADATA (no data scan before
     * the rewrite itself).
     *
-    * Not crash-atomic on a plain filesystem (write-temp → delete →
-    * rename): a real deployment runs it under the table format's
-    * snapshot swap — the engine's own outputs get the same protection
-    * from the [[graft.resume.Checkpoint]] manifest (readers resolve
-    * committed data through the manifest, not directory listing).
-    * Returns the new file count.
+    * Crash-safety on a plain filesystem: write-temp → rename the live
+    * table ASIDE → rename temp into place → delete the aside copy. A
+    * crash between any two steps leaves a complete copy of the data
+    * under either the live name, `.compact-tmp`, or `.compact-old` —
+    * never a window where the table exists only as a half-deleted
+    * directory (a real deployment still prefers the table format's
+    * snapshot swap; the engine's own outputs additionally resolve
+    * committed data through the [[graft.resume.Checkpoint]] manifest).
+    * Non-parquet sidecars living under the table dir (other than
+    * `_SUCCESS`/hidden committer files) are NOT carried through a
+    * rewrite, so compaction REFUSES such tables instead of silently
+    * destroying the sidecars.
+    *
+    * Returns the ACTUAL post-rewrite data-file count from a listing of
+    * the renamed directory (for hive-partitioned tables the shuffle
+    * produces ~one file per partition VALUE, which can exceed the
+    * byte-budget target).
     */
   def compact(
       spark: SparkSession,
@@ -103,13 +114,22 @@ object TableIO {
       targetFileBytes: Long = 128L << 20): Int = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val strays = nonParquetEntries(fs, hPath)
+    require(strays.isEmpty,
+      s"refusing to compact $path: a rewrite would destroy non-parquet " +
+        s"entries under the table dir: ${strays.take(5).mkString(", ")}")
     val totalBytes = fs.getContentSummary(hPath).getLength
     val parts = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    // Temp dir from the NORMALIZED path — raw string concat on a
+    // Sibling dirs from the NORMALIZED path — raw string concat on a
     // trailing-slash input would nest the temp INSIDE the table and the
     // recursive delete below would destroy both copies.
     val tmp = new org.apache.hadoop.fs.Path(
       hPath.getParent, hPath.getName + ".compact-tmp")
+    val old = new org.apache.hadoop.fs.Path(
+      hPath.getParent, hPath.getName + ".compact-old")
+    require(!fs.exists(old),
+      s"$old exists — a previous compaction crashed mid-swap; recover or " +
+        "remove it before compacting again")
     // Hive-partitioned layouts (dir names like lang=en) must keep their
     // directory structure: flattening would break partition pruning and
     // poison later dynamic partition overwrites with stale flat files.
@@ -125,9 +145,45 @@ object TableIO {
         df.repartition(parts, partitionCols.map(col): _*)
           .write.partitionBy(partitionCols: _*)
     writer.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(hPath, true)
-    require(fs.rename(tmp, hPath), s"compaction rename failed for $path")
-    parts
+    // The swap: live data is ALWAYS fully present somewhere.
+    require(fs.rename(hPath, old), s"compaction aside-rename failed for $path")
+    if (!fs.rename(tmp, hPath)) {
+      // restore the original rather than leaving the table missing
+      fs.rename(old, hPath)
+      throw new IllegalStateException(s"compaction swap-rename failed for $path")
+    }
+    fs.delete(old, true)
+    dataFileCount(fs, hPath)
+  }
+
+  /** Recursive count of `*.parquet` data files under `root`. */
+  private def dataFileCount(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Int = {
+    val it = fs.listFiles(root, true)
+    var n = 0
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    }
+    n
+  }
+
+  /** Visible non-parquet FILES under `root` (committer artifacts —
+    * `_SUCCESS`, hidden checksums — excluded): the sidecars a rewrite
+    * would destroy.
+    */
+  private def nonParquetEntries(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[String] = {
+    val it = fs.listFiles(root, true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val name = it.next().getPath.getName
+      if (!name.endsWith(".parquet") && name != "_SUCCESS" &&
+        !name.startsWith(".") && !name.startsWith("_"))
+        out += name
+    }
+    out.toSeq
   }
 
   /** Hive-style partition column names from the directory layout

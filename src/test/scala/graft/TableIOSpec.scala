@@ -71,6 +71,38 @@ class TableIOSpec extends SparkSpec {
     assert(after === Set((9L, "en"), (2L, "de"), (4L, "de")))
   }
 
+  test("compact refuses sidecars, reports actual file counts, and detects a crashed swap") {
+    // a non-parquet sidecar must block the rewrite, not be destroyed
+    val dir = Files.createTempDirectory("graft-compact3").toString + "/t"
+    spark.range(0L, 100L, 1L, 4).toDF("id").write.parquet(dir)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "manifest.json"), "{}")
+    val e = intercept[IllegalArgumentException] {
+      TableIO.compact(spark, dir, targetFileBytes = 1L << 30)
+    }
+    assert(e.getMessage.contains("manifest.json"))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "manifest.json")))
+
+    // hive-partitioned: returned count is the ACTUAL listing (one file
+    // per partition value here — more than the byte-budget target of 1)
+    val dir2 = Files.createTempDirectory("graft-compact4").toString + "/t"
+    TableIO.writePartitioned(
+      Seq((1L, "en"), (2L, "de"), (3L, "fr")).toDF("id", "lang").repartition(6),
+      dir2, Seq("lang"))
+    val n = TableIO.compact(spark, dir2, targetFileBytes = 1L << 30)
+    val listed = java.nio.file.Files.walk(java.nio.file.Paths.get(dir2))
+      .filter(p => p.toString.endsWith(".parquet")).count().toInt
+    assert(n === listed && n === 3)
+
+    // a stale .compact-old (crashed swap) blocks further compaction
+    val aside = java.nio.file.Paths.get(dir2 + ".compact-old")
+    java.nio.file.Files.createDirectory(aside)
+    val e2 = intercept[IllegalArgumentException] {
+      TableIO.compact(spark, dir2, targetFileBytes = 1L << 30)
+    }
+    assert(e2.getMessage.contains("compact-old"))
+  }
+
   test("raw file ingestion: whole-file text rows feed the validator (S3)") {
     val dir = Files.createTempDirectory("graft-raw").toString
     java.nio.file.Files.writeString(
