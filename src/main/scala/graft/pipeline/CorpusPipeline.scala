@@ -101,11 +101,15 @@ object CorpusPipeline {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // s3/s4: pure projections (quality score, deterministic sampling,
     // packability) — identical per-row values at any composition depth.
-    val s3 = col("quality") >= cfg.qualityMin
+    // The quality regexes sit on the RIGHT of a short-circuiting AND so
+    // they only evaluate for dedup survivors (codegen skips the right
+    // operand when the left is false) — same cost profile as the
+    // multi-job funnel, which scored only the deduped frame.
+    val s3 = TextAnalysis.qualityScore(col(cfg.textCol)) >= cfg.qualityMin
     val s4 = Sampling.stratifiedKeep(cfg.idCol, cfg.strataCol,
       cfg.sampleRates, cfg.defaultRate, cfg.seed) &&
       col(cfg.idCol).isNotNull && length(col(cfg.textCol)) > 0
-    val tagged = TextAnalysis.qualityFeatures(docs, cfg.textCol)
+    val tagged = docs
       .withColumn("__s1", s1 && col(cfg.textCol).isNotNull)
       .withColumn("__valid", s1) // validated stage counts null-text rows too
       .withColumn("__rk",

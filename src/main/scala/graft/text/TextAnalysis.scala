@@ -56,12 +56,28 @@ object TextAnalysis {
   def stopwordCount(c: Column, words: Seq[String]): Column =
     regexp_count(lower(c), lit(wordSetPattern(words)))
 
+  /** The composite quality score in [0, 1] as ONE expression —
+    * reusable inside short-circuiting conditionals (e.g. the one-pass
+    * pipeline funnel evaluates it only on dedup survivors). Formula is
+    * fixed (mirrored verbatim in the DuckDB oracle):
+    * 0.4·alpha_ratio + 0.3·min(1, stop_ratio·4) + 0.3·min(1, n_tokens/50).
+    */
+  def qualityScore(t: Column): Column = {
+    val nChars = length(t)
+    val nAlpha = length(regexp_replace(t, "[^A-Za-z]", ""))
+    val nTok = tokenCountWs(t)
+    val nStop = stopwordCount(t, stopwordsEn)
+    val alphaRatio = when(nChars > 0, nAlpha.cast("double") / nChars).otherwise(lit(0d))
+    val stopRatio = when(nTok > 0, nStop.cast("double") / nTok).otherwise(lit(0d))
+    lit(0.4) * alphaRatio +
+      lit(0.3) * least(lit(1d), stopRatio * 4) +
+      lit(0.3) * least(lit(1d), nTok.cast("double") / 50)
+  }
+
   /** Per-document quality features + a composite score in [0, 1].
     *
     * Columns: `n_chars_txt`, `n_tokens`, `alpha_ratio`, `punct_ratio`,
-    * `stop_ratio`, `mean_word_len`, `quality`. The score formula is
-    * fixed (mirrored verbatim in the DuckDB oracle):
-    * 0.4·alpha_ratio + 0.3·min(1, stop_ratio·4) + 0.3·min(1, n_tokens/50).
+    * `stop_ratio`, `mean_word_len`, `quality` (= [[qualityScore]]).
     */
   def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
@@ -74,9 +90,7 @@ object TextAnalysis {
     val punctRatio = when(nChars > 0, nPunct.cast("double") / nChars).otherwise(lit(0d))
     val stopRatio = when(nTok > 0, nStop.cast("double") / nTok).otherwise(lit(0d))
     val meanWordLen = when(nTok > 0, nAlpha.cast("double") / nTok).otherwise(lit(0d))
-    val quality = lit(0.4) * alphaRatio +
-      lit(0.3) * least(lit(1d), stopRatio * 4) +
-      lit(0.3) * least(lit(1d), nTok.cast("double") / 50)
+    val quality = qualityScore(t)
     df.withColumn("n_chars_txt", nChars)
       .withColumn("n_tokens", nTok)
       .withColumn("alpha_ratio", alphaRatio)
