@@ -280,9 +280,15 @@ object CentroidTopLists {
       var best = -1
       l = 0
       while (l < k) {
-        // strict > keeps the earlier-scanned list on equality; >= flips
-        // to the later one — ties must go to the LARGER list id, so >=.
-        if (!chosen(l) && (best < 0 || dots(l) >= dots(best))) best = l
+        // Double.compare, not primitive >=: Spark's struct sort orders
+        // doubles with NaN greatest and -0.0 < 0.0 — primitive
+        // comparison disagrees on exactly those, and parity with the
+        // composed form must hold on every input. `>= 0` (not `> 0`)
+        // flips ties to the later-scanned (LARGER) list id, matching
+        // descending struct comparison.
+        if (!chosen(l) &&
+          (best < 0 || java.lang.Double.compare(dots(l), dots(best)) >= 0))
+          best = l
         l += 1
       }
       chosen(best) = true

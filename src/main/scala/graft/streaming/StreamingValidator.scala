@@ -71,6 +71,26 @@ object StreamingValidator {
         // pass = no failing-channel (≥ error) violations, same as batch
         (sum(col("__n_err").cast("long")) === 0L).as("pass"))
 
+  /** Streaming exact dedup — the live-ingest mirror of
+    * [[graft.dedup.Dedup.exactDedup]]: drops rows whose `keyCols`
+    * (typically the content hash) were already seen, with state bounded
+    * by the watermark (`dropDuplicatesWithinWatermark` — a duplicate
+    * arriving within `watermarkDelay` of the original is always caught;
+    * older state is evicted, the batch dedup remains the exactness
+    * backstop). Without the bound, dedup state on an endless stream
+    * grows with distinct-key cardinality — the watermark makes it
+    * O(keys per delay window).
+    */
+  def streamingDedup(
+      stream: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    stream
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Gap-based SESSION-window verdicts — the streaming mirror of
     * [[graft.temporal.Temporal.sessionize]] for live pipelines: events
     * of one `partitionCol` value belong to a session while consecutive

@@ -183,6 +183,31 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(batchRollup).isEmpty)
   }
 
+  test("streaming dedup: duplicates within the watermark dropped; state bounded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val df = input.toDF.toDF("content_sha", "ts")
+    val q = StreamingValidator
+      .streamingDedup(df, Seq("content_sha"), "ts", watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        ("aaa", ts("2026-01-01 00:00:00")),
+        ("aaa", ts("2026-01-01 00:00:05")), // dup within watermark → dropped
+        ("bbb", ts("2026-01-01 00:00:10")))
+      q.processAllAvailable()
+      input.addData(("bbb", ts("2026-01-01 00:01:00"))) // dup, later batch
+      q.processAllAvailable()
+      val keys = spark.table("dedup_stream")
+        .select($"content_sha").as[String].collect().toSeq
+      assert(keys.sorted === Seq("aaa", "bbb")) // each key exactly once
+    } finally q.stop()
+  }
+
   test("windowed verdicts roll up violation counts per tumbling window") {
     val src = Files.createTempDirectory("graft-stream-src2").toString
     val batch = spark.read.parquet(sf("sf0.001") + "/events.parquet")
