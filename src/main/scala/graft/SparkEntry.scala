@@ -147,6 +147,24 @@ object SparkEntry {
         struct(col("lang").as("name"), (col("n_chars") - lit(200L)).as("n")))
         .as("accounts"))
 
+  /** documents + a deterministically PII-injected text derivative —
+    * the synthetic corpus contains no natural PII, so the redaction
+    * entry injects one category per doc_id residue class (emails+URLs,
+    * IPv4+long ids, or untouched). Mirrored exactly by the
+    * `q_redact_documents` oracle.
+    */
+  private def docsWithPii(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).withColumn("text_pii",
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(col("text"), lit(" reach user"), col("doc_id").cast("string"),
+          lit("@example.com or https://site"), col("doc_id").cast("string"),
+          lit(".example.org/p?id="), col("doc_id").cast("string")))
+        .when(pmod(col("doc_id"), lit(3)) === 1,
+          concat(col("text"), lit(" host 10.0."),
+            pmod(col("doc_id"), lit(256)).cast("string"),
+            lit(".25 acct 900000000"), col("doc_id").cast("string")))
+        .otherwise(col("text")))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_validate_documents" -> ((s, dir) =>
       Validator.violations(docs(s, dir), docSchema, Seq("doc_id"))),
@@ -291,6 +309,27 @@ object SparkEntry {
     "q_fingerprint_documents" -> ((s, dir) =>
       TextAnalysis.fingerprint(docs(s, dir), "text")
         .select(col("doc_id"), col("content_sha"), col("fp64"))),
+    "q_repetition_documents" -> ((s, dir) =>
+      // Gopher-style repetition/boilerplate features — per-doc mode via
+      // a zero-shuffle sorted-array run-length scan (aggregate HOF).
+      TextAnalysis.repetitionFeatures(docs(s, dir), "text")
+        .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+          round(col("dup_word_frac"), 6).as("dup_word_frac"),
+          round(col("top_word_frac"), 6).as("top_word_frac"),
+          round(col("top_bigram_frac"), 6).as("top_bigram_frac"),
+          round(col("symbol_ratio"), 6).as("symbol_ratio"))),
+    "q_redact_documents" -> ((s, dir) =>
+      // PII scrubbing over a deterministically PII-injected derivative
+      // of the text column (the base corpus is synthetic and clean, so
+      // the injection makes every category fire; the oracle injects the
+      // identical strings and replays the same ordered regex passes).
+      TextAnalysis.redactPii(docsWithPii(s, dir), "text_pii")
+        .select(col("doc_id"), col("n_url"), col("n_email"), col("n_ipv4"),
+          col("n_id_digits"), col("text_redacted"))),
+    "q_toptokens_documents" -> ((s, dir) =>
+      // Exact corpus-wide heavy hitters (vocabulary head): shuffle
+      // bounded by vocab size, top-k via TakeOrderedAndProject.
+      TextAnalysis.topTokens(docs(s, dir), "text", k = 20)),
 
     "q_pipeline_documents" -> ((s, dir) =>
       // End-to-end corpus curation funnel (validate → dedup → quality →
@@ -326,6 +365,15 @@ object SparkEntry {
           n = 3, maxDf = 50, minJaccard = 0.5)
         .select(col("id_a"), col("id_b"), col("n_common"),
           col("size_a"), col("size_b"), round(col("jaccard"), 6).as("jaccard"))),
+    "q_cluster_documents" -> ((s, dir) =>
+      // Near-dup CLUSTERS from pairs: connected components (iterative
+      // min-label propagation) over the exact Jaccard pair graph —
+      // (doc_id, component = min reachable id, n_members). The oracle
+      // replays the transitive closure with a recursive CTE.
+      Dedup.clusterAssignments(
+          Dedup.jaccardPairs(docs(s, dir), "doc_id", "text",
+            n = 3, maxDf = 50, minJaccard = 0.5))
+        .select(col("id").as("doc_id"), col("component"), col("n_members"))),
     "q_minhash_documents" -> ((s, dir) =>
       // MinHash signatures, exploded to one (doc_id, pos, minhash) row
       // per signature coordinate — scalar columns so the driver's
@@ -425,6 +473,33 @@ object SparkEntry {
       s"SELECT doc_id, 'accounts[$i].n' AS field, 'max' AS rule, CAST($nv AS VARCHAR) AS value, 'error' AS severity FROM documents WHERE ($nv) IS NOT NULL AND ($nv) > 500"
     )}.mkString(" UNION ALL ")
   }
+
+  /** Shared CTE chain recomputing [[Dedup.jaccardPairs]] (n=3,
+    * maxDf=50) in DuckDB — `jp` = all candidate pairs with exact
+    * jaccard; consumed by the pair oracle (threshold filter) and the
+    * clustering oracle (recursive closure).
+    */
+  private val jaccardCtes: String =
+    """d AS (
+      | SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      | FROM documents WHERE text IS NOT NULL),
+      |w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM d),
+      |g AS (SELECT doc_id,
+      |  list_distinct(list_transform(range(1, len(ws) - 1),
+      |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gs
+      | FROM w WHERE len(ws) >= 3),
+      |s0 AS (SELECT doc_id, unnest(gs) AS sh FROM g),
+      |s AS (SELECT doc_id, sh FROM (
+      |  SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS dfc FROM s0)
+      | WHERE dfc <= 50),
+      |sz AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY 1),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2),
+      |jp AS (SELECT id_a, id_b, n_common, sa.sz AS size_a, sb.sz AS size_b,
+      |        n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE) AS jaccard
+      |       FROM p JOIN sz sa ON sa.doc_id = p.id_a
+      |              JOIN sz sb ON sb.doc_id = p.id_b)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_validate_documents" -> docViolationsSql,
@@ -731,6 +806,84 @@ object SparkEntry {
         | sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_sha,
         | substring(sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16) AS fp64
         |FROM documents""".stripMargin,
+    "q_repetition_documents" ->
+      """WITH d AS (
+        | SELECT doc_id, text,
+        |  CASE WHEN text IS NULL THEN NULL
+        |   ELSE list_filter(
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |    x -> length(x) > 0)
+        |  END AS ws
+        | FROM documents),
+        |b AS (
+        | SELECT doc_id, text, ws,
+        |  CASE WHEN ws IS NULL THEN NULL
+        |   ELSE list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+        |  END AS bg
+        | FROM d),
+        |wtf AS (
+        | SELECT doc_id, max(c) AS top_w FROM (
+        |  SELECT doc_id, tok, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(ws) AS tok FROM d) GROUP BY 1, 2)
+        | GROUP BY 1),
+        |btf AS (
+        | SELECT doc_id, max(c) AS top_b FROM (
+        |  SELECT doc_id, tok, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(bg) AS tok FROM b) GROUP BY 1, 2)
+        | GROUP BY 1)
+        |SELECT b.doc_id,
+        | CAST(len(ws) AS BIGINT) AS n_words,
+        | CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words,
+        | CASE WHEN text IS NULL THEN NULL WHEN len(ws) > 0
+        |  THEN round((len(ws) - len(list_distinct(ws))) / CAST(len(ws) AS DOUBLE), 6)
+        |  ELSE 0.0 END AS dup_word_frac,
+        | CASE WHEN text IS NULL THEN NULL WHEN len(ws) > 0
+        |  THEN round(coalesce(top_w, 0) / CAST(len(ws) AS DOUBLE), 6)
+        |  ELSE 0.0 END AS top_word_frac,
+        | CASE WHEN text IS NULL THEN NULL WHEN len(bg) > 0
+        |  THEN round(coalesce(top_b, 0) / CAST(len(bg) AS DOUBLE), 6)
+        |  ELSE 0.0 END AS top_bigram_frac,
+        | CASE WHEN text IS NULL THEN NULL WHEN length(text) > 0
+        |  THEN round(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) / CAST(length(text) AS DOUBLE), 6)
+        |  ELSE 0.0 END AS symbol_ratio
+        |FROM b LEFT JOIN wtf ON wtf.doc_id = b.doc_id
+        |       LEFT JOIN btf ON btf.doc_id = b.doc_id""".stripMargin,
+    "q_redact_documents" ->
+      """WITH p AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN text || ' reach user' || CAST(doc_id AS VARCHAR)
+        |         || '@example.com or https://site' || CAST(doc_id AS VARCHAR)
+        |         || '.example.org/p?id=' || CAST(doc_id AS VARCHAR)
+        |       WHEN doc_id % 3 = 1 THEN text || ' host 10.0.'
+        |         || CAST(doc_id % 256 AS VARCHAR) || '.25 acct 900000000'
+        |         || CAST(doc_id AS VARCHAR)
+        |       ELSE text END AS t
+        | FROM documents)
+        |SELECT doc_id,
+        | CASE WHEN t IS NULL THEN NULL
+        |  ELSE CAST(len(regexp_extract_all(t, 'https?://[^\s]+')) AS BIGINT) END AS n_url,
+        | CASE WHEN t IS NULL THEN NULL
+        |  ELSE CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) END AS n_email,
+        | CASE WHEN t IS NULL THEN NULL
+        |  ELSE CAST(len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) END AS n_ipv4,
+        | CASE WHEN t IS NULL THEN NULL
+        |  ELSE CAST(len(regexp_extract_all(t, '\b[0-9]{9,}\b')) AS BIGINT) END AS n_id_digits,
+        | regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |   'https?://[^\s]+', '<URL>', 'g'),
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |   '\b[0-9]{9,}\b', '<ID>', 'g') AS text_redacted
+        |FROM p""".stripMargin,
+    "q_toptokens_documents" ->
+      """WITH tok AS (
+        | SELECT unnest(list_filter(
+        |   string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |   x -> length(x) > 0)) AS token
+        | FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT token, count(*) AS n FROM tok GROUP BY 1)
+        |SELECT token, n,
+        | CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT) AS rank
+        |FROM c ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
 
     "q_pipeline_documents" ->
       s"""WITH v AS (
@@ -813,27 +966,28 @@ object SparkEntry {
         |       count(*) AS n
         |      FROM documents WHERE text IS NOT NULL GROUP BY 1)""".stripMargin,
     "q_jaccard_pairs_documents" ->
-      """WITH d AS (
-        | SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
-        | FROM documents WHERE text IS NOT NULL),
-        |w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM d),
-        |g AS (SELECT doc_id,
-        |  list_distinct(list_transform(range(1, len(ws) - 1),
-        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gs
-        | FROM w WHERE len(ws) >= 3),
-        |s0 AS (SELECT doc_id, unnest(gs) AS sh FROM g),
-        |s AS (SELECT doc_id, sh FROM (
-        |  SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS dfc FROM s0)
-        | WHERE dfc <= 50),
-        |sz AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY 1),
-        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-        |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |      GROUP BY 1, 2)
+      s"""WITH $jaccardCtes
         |SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
-        | CAST(sa.sz AS BIGINT) AS size_a, CAST(sb.sz AS BIGINT) AS size_b,
-        | round(n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE), 6) AS jaccard
-        |FROM p JOIN sz sa ON sa.doc_id = p.id_a JOIN sz sb ON sb.doc_id = p.id_b
-        |WHERE n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.5""".stripMargin,
+        | CAST(size_a AS BIGINT) AS size_a, CAST(size_b AS BIGINT) AS size_b,
+        | round(jaccard, 6) AS jaccard
+        |FROM jp WHERE jaccard >= 0.5""".stripMargin,
+    // Transitive closure of the jaccard pair graph via a recursive CTE:
+    // walk enumerates (node, reachable-node) over the symmetric edges;
+    // min per node = the component's minimum id (the engine's label).
+    "q_cluster_documents" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+        |e AS (
+        |  SELECT id_a AS src, id_b AS dst FROM jp WHERE jaccard >= 0.5
+        |  UNION
+        |  SELECT id_b AS src, id_a AS dst FROM jp WHERE jaccard >= 0.5),
+        |walk(id, lab) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT e2.dst, w2.lab FROM walk w2 JOIN e e2 ON e2.src = w2.id),
+        |cc AS (SELECT id, min(lab) AS component FROM walk GROUP BY id)
+        |SELECT id AS doc_id, component,
+        | count(*) OVER (PARTITION BY component) AS n_members
+        |FROM cc""".stripMargin,
 
     // --- embedding similarity ------------------------------------------
     "q_ann_topk_embeddings" ->

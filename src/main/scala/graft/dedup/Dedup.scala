@@ -380,6 +380,116 @@ object Dedup {
   /** Hamming distance between two 64-bit hashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  // -------------------------------------------------------------------
+  // 5. Near-duplicate clustering (connected components over pairs)
+  // -------------------------------------------------------------------
+
+  /** Connected components over an undirected candidate-pair graph —
+    * the output of ANY pairwise miner above ([[jaccardPairs]],
+    * [[minHashNearDuplicates]], [[simHashNearDuplicates]], or the
+    * embedding miners in graft.sim): every node is assigned the
+    * MINIMUM id reachable from it. Output: `(id, component)`, one row
+    * per node that appears in at least one pair.
+    *
+    * Near-dup pairs alone under-deduplicate: A~B and B~C without A~C
+    * means dropping one side of each pair can still keep two copies of
+    * the same cluster. Transitive closure turns pairs into clusters so
+    * exactly one survivor per cluster remains ([[dedupByClusters]]).
+    *
+    * Algorithm: iterative min-label propagation (the classic
+    * Pregel/GraphX formulation) — each round every node takes the min
+    * of its own label and its neighbours'; converges in O(graph
+    * diameter) rounds. Near-dup graphs are unions of small dense
+    * clusters, so the diameter — and hence the round count — is small
+    * regardless of corpus size.
+    *
+    * Scale design (100 TB): each round is ONE shuffle (equi-join on
+    * `src` + min-aggregate on `id`); `localCheckpoint` after every
+    * round truncates lineage — the naive self-referencing plan embeds
+    * the previous round TWICE (union + join), i.e. 2^rounds analysis
+    * cost without truncation. Driver traffic is one emptiness check
+    * per round. Throws after `maxIters` non-converged rounds rather
+    * than silently returning a partial clustering.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      idACol: String = "id_a",
+      idBCol: String = "id_b",
+      maxIters: Int = 50,
+      scope: CacheScope = CacheScope.shared): DataFrame = {
+    val half = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
+    // Symmetric, deduplicated edge list — consumed once per round.
+    val edges = scope.cache(
+      half.union(half.select(col("dst").as("src"), col("src").as("dst")))
+        .where(col("src").isNotNull && col("dst").isNotNull)
+        .distinct())
+    var labels = edges
+      .select(col("src").as("id"), col("src").as("component"))
+      .distinct()
+      .localCheckpoint(true)
+    var iter = 0
+    var done = false
+    while (!done) {
+      val viaNeighbours = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("component"))
+      val next = labels
+        .select(col("id"), col("component"))
+        .union(viaNeighbours)
+        .groupBy(col("id"))
+        .agg(min(col("component")).as("component"))
+        .localCheckpoint(true)
+      done = next
+        .join(labels.withColumnRenamed("component", "__prev"), "id")
+        .where(col("component") =!= col("__prev"))
+        .isEmpty
+      labels = next
+      iter += 1
+      if (!done && iter >= maxIters)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge within maxIters=$maxIters " +
+            "rounds — the pair graph has a path longer than maxIters " +
+            "(degenerate chain-shaped input); raise maxIters explicitly")
+    }
+    labels
+  }
+
+  /** [[connectedComponents]] plus the cluster size: `(id, component,
+    * n_members)` — one window over `component` (tiny frame: only nodes
+    * that appear in pairs, not the corpus).
+    */
+  def clusterAssignments(
+      pairs: DataFrame,
+      idACol: String = "id_a",
+      idBCol: String = "id_b",
+      maxIters: Int = 50,
+      scope: CacheScope = CacheScope.shared): DataFrame = {
+    val cc = connectedComponents(pairs, idACol, idBCol, maxIters, scope)
+    cc.withColumn("n_members",
+      count(lit(1)).over(Window.partitionBy(col("component"))))
+  }
+
+  /** Keep exactly ONE survivor (the min-id member) per near-dup
+    * cluster: drops every row whose id is a non-minimum member of a
+    * connected component of `pairs`; rows in no pair pass through.
+    * A broadcast anti-join when the clustered set is small relative to
+    * the corpus (the common case — near-dups are the minority), a
+    * shuffled anti-join otherwise; Catalyst/AQE picks by size.
+    */
+  def dedupByClusters(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      idACol: String = "id_a",
+      idBCol: String = "id_b",
+      maxIters: Int = 50,
+      scope: CacheScope = CacheScope.shared): DataFrame = {
+    val losers = connectedComponents(pairs, idACol, idBCol, maxIters, scope)
+      .where(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Near-duplicate pairs with Hamming(simhash) ≤ maxHamming, candidates
     * via a pigeonhole chunk join: the 64 bits are split into
     * `maxHamming + 1` disjoint chunks, so every pair within the radius

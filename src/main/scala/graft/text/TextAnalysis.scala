@@ -132,6 +132,140 @@ object TextAnalysis {
   }
 
   // -------------------------------------------------------------------
+  // Repetition / boilerplate features (Gopher-style quality rules)
+  // -------------------------------------------------------------------
+
+  /** Per-document repetition features — the published "repetitive
+    * content" quality heuristics (Gopher / MassiveText rules, Rae et
+    * al. 2021): heavily repeated words or n-grams mark boilerplate and
+    * generator loops. All columns are computed in ONE projection with
+    * zero shuffle — the per-document mode (top term frequency) comes
+    * from a sorted-array run-length scan via the `aggregate`
+    * higher-order function, not an explode + groupBy (which would
+    * shuffle |doc|·words rows at corpus scale).
+    *
+    * Columns (null text → null; empty text → zero ratios):
+    *   - `n_words`, `n_distinct_words`
+    *   - `dup_word_frac`   = 1 − distinct/total (0 when no words)
+    *   - `top_word_frac`   = max term frequency / n_words
+    *   - `top_bigram_frac` = max bigram frequency / (n_words − 1)
+    *   - `symbol_ratio`    = non-alphanumeric, non-space chars / chars
+    */
+  def repetitionFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val words = filter(split(normalizeText(t), " "), w => length(w) > 0)
+    val n = size(words)
+    val nDistinct = size(array_distinct(words))
+    val bigrams = filter(
+      zip_with(words, slice(words, lit(2), greatest(n - 1, lit(0))),
+        (a, b) => when(b.isNotNull, concat_ws(" ", a, b))),
+      g => g.isNotNull)
+    val frac = (top: Column, denom: Column) =>
+      when(t.isNull, lit(null).cast("double"))
+        .when(denom > 0, top.cast("double") / denom)
+        .otherwise(lit(0d))
+    df.withColumn("n_words", when(t.isNull, lit(null)).otherwise(n).cast("long"))
+      .withColumn("n_distinct_words",
+        when(t.isNull, lit(null)).otherwise(nDistinct).cast("long"))
+      .withColumn("dup_word_frac", frac(n - nDistinct, n))
+      .withColumn("top_word_frac", frac(maxRunLength(sort_array(words)), n))
+      .withColumn("top_bigram_frac",
+        frac(maxRunLength(sort_array(bigrams)), size(bigrams)))
+      .withColumn("symbol_ratio",
+        when(t.isNull, lit(null).cast("double"))
+          .when(length(t) > 0,
+            length(regexp_replace(t, "[A-Za-z0-9\\s]", "")).cast("double") / length(t))
+          .otherwise(lit(0d)))
+  }
+
+  /** Longest run of equal adjacent elements in a SORTED array = the
+    * max multiplicity of any element — a linear scan in one `aggregate`
+    * HOF (struct state: previous element, current run, best run).
+    * 0 for an empty array.
+    */
+  def maxRunLength(sorted: Column): Column =
+    aggregate(
+      sorted,
+      struct(
+        lit(null).cast("string").as("prev"),
+        lit(0).as("run"),
+        lit(0).as("best")),
+      (acc, w) => {
+        val run =
+          when(w === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1))
+        struct(
+          w.as("prev"),
+          run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  // -------------------------------------------------------------------
+  // PII redaction (training-data scrubbing)
+  // -------------------------------------------------------------------
+
+  /** Redaction pass order — each entry is (category, pattern,
+    * replacement token). Order matters and is part of the contract:
+    * URLs first (they may embed digit runs and @-signs), then emails,
+    * IPv4, and finally long digit runs (account-number-ish ids).
+    * Patterns are RE2-compatible (no backrefs/lookarounds) so the
+    * DuckDB oracle replays them with identical semantics.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("url", "https?://[^\\s]+", "<URL>"),
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("id_digits", "\\b[0-9]{9,}\\b", "<ID>"))
+
+  /** PII scrubbing for a text corpus: per-category match counts (on
+    * the ORIGINAL text) plus `text_redacted` with every match replaced
+    * by its category token, applied in [[piiPatterns]] order. One
+    * projection, zero shuffle, codegen'd regex — the form a 100 TB
+    * scrub pass must take. Counts columns: `n_url`, `n_email`,
+    * `n_ipv4`, `n_id_digits`.
+    */
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val counted = piiPatterns.foldLeft(df) { case (acc, (cat, pat, _)) =>
+      acc.withColumn(s"n_$cat",
+        when(t.isNull, lit(null)).otherwise(regexp_count(t, lit(pat))).cast("long"))
+    }
+    val redacted = piiPatterns.foldLeft(t) { case (acc, (_, pat, tok)) =>
+      regexp_replace(acc, pat, tok)
+    }
+    counted.withColumn("text_redacted", redacted)
+  }
+
+  // -------------------------------------------------------------------
+  // Corpus vocabulary (heavy hitters)
+  // -------------------------------------------------------------------
+
+  /** Exact corpus-wide top-k tokens by frequency: `(token, n, rank)`,
+    * ties broken by token ascending (deterministic).
+    *
+    * Scale shape: explode → hash-aggregate (map-side partial combine
+    * bounds the shuffle by VOCABULARY size, not corpus size) →
+    * `orderBy().limit(k)` which Spark executes as TakeOrderedAndProject
+    * (per-partition partial top-k, no global sort); the rank window
+    * then runs over k rows only.
+    */
+  def topTokens(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .where(col(textCol).isNotNull)
+      .select(explode(split(normalizeText(col(textCol)), " ")).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+    counts.withColumn("rank",
+      row_number()
+        .over(Window.orderBy(col("n").desc, col("token").asc))
+        .cast("long"))
+  }
+
+  // -------------------------------------------------------------------
   // Document fingerprinting
   // -------------------------------------------------------------------
 

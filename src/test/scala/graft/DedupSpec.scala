@@ -162,4 +162,36 @@ class DedupSpec extends SparkSpec {
     assert(stats.getAs[Long]("max_bucket") === 10L)
     assert(stats.getAs[Long]("lsh_bucket_overflow") === 160L)
   }
+
+  test("connected components: transitive closure with min-id labels") {
+    // Two clusters — one needing transitivity (1-2, 2-3 without 1-3) —
+    // plus an isolated pair and a self-loop.
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L), (7L, 7L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 7L -> 7L))
+
+    val sized = Dedup.clusterAssignments(pairs)
+      .select($"id", $"n_members").as[(Long, Long)].collect().toMap
+    assert(sized(1L) === 3L && sized(3L) === 3L && sized(10L) === 2L && sized(7L) === 1L)
+  }
+
+  test("connected components: long chain converges; maxIters guard throws") {
+    // A 12-node path graph — worst-case diameter for label propagation.
+    val chain = (1L to 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(chain).as[(Long, Long)].collect().toMap
+    assert(cc.size === 12 && cc.values.forall(_ === 1L))
+    assertThrows[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIters = 2)
+    }
+  }
+
+  test("dedupByClusters keeps one survivor per cluster, passes untouched rows") {
+    val df = docs((1L to 6L).map(i => i -> s"doc $i"): _*)
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupByClusters(df, "doc_id", pairs)
+      .select($"doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 4L, 5L)) // 4 in no pair → passes through
+  }
 }
