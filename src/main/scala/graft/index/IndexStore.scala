@@ -98,6 +98,50 @@ object IndexStore {
       sigs, meta.k, bands, minEstJaccard, maxBucket, scope)
   }
 
+  /** Incrementally extend a stored MinHash index with the rows of `df`
+    * whose id is NOT yet indexed (anti-join against the stored ids —
+    * re-appending an already-indexed batch is a no-op, so ingest
+    * retries are idempotent at the row level). Signatures are computed
+    * with the INDEX's stored (k, shingleN) — the caller cannot drift
+    * the parameters. Returns the number of rows appended.
+    *
+    * This is the daily-ingest path at corpus scale: one signature pass
+    * over the NEW slice only, never a corpus rebuild. The parquet
+    * append itself is not atomic (crash mid-append can leave a partial
+    * batch visible); wrap calls in the [[graft.resume.Checkpoint]]
+    * manifest protocol when exactly-once batch visibility matters.
+    */
+  def appendMinHash(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String): Long = {
+    val spark = df.sparkSession
+    val (stored, meta) = loadMinHash(spark, path)
+    val fresh = df.join(
+        stored.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+    val sigs = Dedup.minHashSignatures(fresh, idCol, textCol, meta.k, meta.shingleN)
+    appendCounted(sigs, s"$path/data")
+  }
+
+  /** Write `rows` via append and report how many landed — the count
+    * runs BEFORE the write (on a cached frame) so the data is read
+    * once, not twice.
+    */
+  private def appendCounted(rows: DataFrame, dataPath: String,
+      partitionCols: Seq[String] = Nil): Long = {
+    rows.persist()
+    try {
+      val n = rows.count()
+      if (n > 0) {
+        val w = rows.write.mode(SaveMode.Append)
+        (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+          .parquet(dataPath)
+      }
+      n
+    } finally rows.unpersist()
+  }
+
   // -------------------------------------------------------------------
   // Random-hyperplane LSH bucket index (embeddings)
   // -------------------------------------------------------------------
@@ -142,6 +186,27 @@ object IndexStore {
       meta.dim, k, meta.nPlanes, meta.nTables, meta.seed)
   }
 
+  /** Incrementally extend a stored LSH bucket index with not-yet-
+    * indexed vectors, hashed with the INDEX's stored planes/seed (same
+    * idempotent anti-join contract as [[appendMinHash]]). Returns the
+    * number of corpus rows appended (each contributes nTables bucket
+    * rows).
+    */
+  def appendLsh(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String): Long = {
+    val spark = df.sparkSession
+    val (stored, meta) = loadLsh(spark, path)
+    val fresh = df.join(
+      stored.select(col("id").as(idCol)).distinct(), Seq(idCol), "left_anti")
+    val rows = Similarity
+      .lshIndex(fresh, idCol, vecCol, meta.dim, meta.nPlanes, meta.nTables, meta.seed)
+      .withColumn("c_norm", Similarity.norm(col("vec")))
+    appendCounted(rows, s"$path/data") / math.max(meta.nTables, 1)
+  }
+
   // -------------------------------------------------------------------
   // IVF centroid + assignment index (embeddings)
   // -------------------------------------------------------------------
@@ -184,6 +249,28 @@ object IndexStore {
       .collect()
       .map(r => r.getSeq[Double](1).toArray)
     (centroids, spark.read.parquet(s"$path/data"), meta)
+  }
+
+  /** Incrementally extend a stored IVF index: assign only the
+    * not-yet-indexed vectors to their nearest EXISTING centroid and
+    * append into the list-partitioned assignment table. Centroids are
+    * deliberately left untouched — that is how production IVF indices
+    * ingest (appends between rebuilds; retraining centroids would
+    * silently invalidate every stored assignment). Returns rows
+    * appended.
+    */
+  def appendIvf(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String): Long = {
+    val spark = df.sparkSession
+    val (centroids, assignments, meta) = loadIvf(spark, path)
+    val fresh = df.join(
+      assignments.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+    val rows = Ivf.ivfIndex(fresh, idCol, vecCol, meta.dim, centroids)
+      .withColumn("c_norm", Similarity.norm(col("vec")))
+    appendCounted(rows, s"$path/data", partitionCols = Seq("list"))
   }
 
   /** ANN top-k against the STORED IVF index — no re-training, no

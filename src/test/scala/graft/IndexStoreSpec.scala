@@ -98,6 +98,63 @@ class IndexStoreSpec extends SparkSpec {
       "assignments are not partitioned by list")
   }
 
+  test("minhash append: build-half + append-half == build-full; re-append is a no-op") {
+    val half = tmpDir("mh-append")
+    val full = tmpDir("mh-full")
+    IndexStore.buildMinHash(docs.where($"doc_id" % 2 === 0), "doc_id", "text",
+      half, k = 64, shingleN = 8)
+    IndexStore.buildMinHash(docs, "doc_id", "text", full, k = 64, shingleN = 8)
+
+    val oddCount = docs.where($"doc_id" % 2 === 1 && $"text".isNotNull).count()
+    assert(IndexStore.appendMinHash(docs, "doc_id", "text", half) === oddCount)
+    // idempotent: every id is already indexed now
+    assert(IndexStore.appendMinHash(docs, "doc_id", "text", half) === 0L)
+
+    val a = IndexStore.loadMinHash(spark, half)._1
+      .select($"id", $"sig").as[(Long, Seq[Long])].collect().toSet
+    val b = IndexStore.loadMinHash(spark, full)._1
+      .select($"id", $"sig").as[(Long, Seq[Long])].collect().toSet
+    assert(a === b)
+  }
+
+  test("ivf append: assigns new vectors to EXISTING centroids; probe-all stays exact") {
+    val path = tmpDir("ivf-append")
+    IndexStore.buildIvf(emb.where($"vec_id" % 2 === 0), "vec_id", "embedding",
+      path, dim = 64, nLists = 8, iters = 2)
+    graft.util.CacheScope.shared.release()
+    val centroidsBefore = IndexStore.loadIvf(spark, path)._1.map(_.toSeq)
+
+    val appended = IndexStore.appendIvf(emb, "vec_id", "embedding", path)
+    assert(appended === emb.where($"vec_id" % 2 === 1).count())
+    assert(IndexStore.appendIvf(emb, "vec_id", "embedding", path) === 0L)
+    // centroids untouched by append
+    assert(IndexStore.loadIvf(spark, path)._1.map(_.toSeq).toSeq === centroidsBefore.toSeq)
+
+    // the appended index over the full corpus is still exact at probe-all
+    val queries = emb.where($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select($"q_id", $"vec_id", $"rank").as[(Long, Long, Int)].collect().toSet
+    val got = IndexStore.ivfTopK(spark, path, queries, "vec_id", "embedding",
+        k = 5, nProbe = 8)
+      .select($"q_id", $"vec_id", $"rank").as[(Long, Long, Int)].collect().toSet
+    assert(got === exact)
+  }
+
+  test("lsh append: appended index reproduces the full-built index") {
+    val half = tmpDir("lsh-append")
+    val full = tmpDir("lsh-full")
+    IndexStore.buildLsh(emb.where($"vec_id" % 2 === 0), "vec_id", "embedding",
+      half, dim = 64, nPlanes = 4, nTables = 8)
+    IndexStore.buildLsh(emb, "vec_id", "embedding", full,
+      dim = 64, nPlanes = 4, nTables = 8)
+    assert(IndexStore.appendLsh(emb, "vec_id", "embedding", half) ===
+      emb.where($"vec_id" % 2 === 1).count())
+    assert(IndexStore.appendLsh(emb, "vec_id", "embedding", half) === 0L)
+    val key = (p: String) => IndexStore.loadLsh(spark, p)._1
+      .select($"id", $"table", $"bucket").as[(Long, Int, Long)].collect().toSet
+    assert(key(half) === key(full))
+  }
+
   test("kind mismatch fails loudly at load") {
     val path = tmpDir("kind")
     IndexStore.buildMinHash(docs, "doc_id", "text", path)
