@@ -212,6 +212,17 @@ object SparkEntry {
           qs = Seq(0.25, 0.5, 0.75, 0.95), exact = true)
         .select(col("l_returnflag"), col("q"),
           round(col("value"), 6).as("value"))),
+    "q_outliers_lineitem" -> ((s, dir) =>
+      // Per-group Tukey-fence outlier summary; exact quartiles for
+      // oracle parity, approx sketch as the 100 TB path (StatsSpec).
+      ColumnStats.outlierSummary(
+          s.read.parquet(s"$dir/lineitem.parquet")
+            .select(col("l_returnflag"),
+              col("l_extendedprice").cast("double").as("price")),
+          "price", Seq("l_returnflag"), k = 1.5, exact = true)
+        .select(col("l_returnflag"), col("n_values"), col("n_outliers"),
+          round(col("q1"), 6).as("q1"), round(col("q3"), 6).as("q3"),
+          round(col("lo"), 6).as("lo"), round(col("hi"), 6).as("hi"))),
     "q_unique_lineitem" -> ((s, dir) =>
       Uniqueness.summary(
         s.read.parquet(s"$dir/lineitem.parquet"),
@@ -233,6 +244,18 @@ object SparkEntry {
         s.read.parquet(s"$dir/customer.parquet")
           .select(col("c_custkey").as("o_custkey")),
         Seq("o_custkey"))),
+    "q_ri_bloom_orders_customer" -> ((s, dir) => {
+      // Bloom-accelerated exact RI: probe-miss rows are orphans with
+      // zero shuffle; only probe-hit rows reach the anti-join. Must be
+      // row-identical to the plain-join summary — the oracle is the
+      // same NOT EXISTS count.
+      val dim = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("o_custkey"))
+      val bloom = RefIntegrity.buildKeyBloom(
+        dim, Seq("o_custkey"), expectedItems = 200000L, fpp = 0.01)
+      RefIntegrity.summaryWithBloom(
+        s.read.parquet(s"$dir/orders.parquet"), dim, Seq("o_custkey"), bloom)
+    }),
     "q_drift_documents" -> ((s, dir) =>
       Drift.againstGlobal(docs(s, dir), "n_chars", Seq("lang"),
         nBins = 20, lo = 0d, hi = 600d)),
@@ -357,6 +380,13 @@ object SparkEntry {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_kept"))),
 
+    "q_reservoir_documents" -> ((s, dir) =>
+      // Fixed-size per-group sample (per-domain cap): exactly
+      // min(7, |lang|) docs per language, selection a pure function of
+      // (doc_id, lang, seed) — the oracle replays it row-for-row.
+      graft.sample.Sampling.reservoirPerGroup(docs(s, dir), "doc_id", "lang", k = 7)
+        .select(col("lang"), col("doc_id"))),
+
     // --- training-data pipeline: deduplication -------------------------
     "q_dedup_exact_documents" -> ((s, dir) =>
       Dedup.exactSummary(docs(s, dir), "text")),
@@ -365,6 +395,34 @@ object SparkEntry {
           n = 3, maxDf = 50, minJaccard = 0.5)
         .select(col("id_a"), col("id_b"), col("n_common"),
           col("size_a"), col("size_b"), round(col("jaccard"), 6).as("jaccard"))),
+    "q_contamination_documents" -> ((s, dir) => {
+      // Train/test leakage check: the "eval set" is a deterministic
+      // slice of documents reduced to a 120-char prefix (an eval item
+      // extracted from a training doc) — every probe must surface its
+      // source doc with high containment.
+      val corpus = docs(s, dir)
+      val probe = corpus
+        .where(col("doc_id") % 23 === 0)
+        .select(col("doc_id").as("probe_id"),
+          substring(col("text"), 1, 120).as("text"))
+      Dedup.contaminationPairs(corpus, "doc_id", probe, "probe_id", "text",
+          n = 3, maxDf = 50, minContainment = 0.4, broadcastProbe = true)
+        .select(col("probe_id"), col("corpus_id"), col("n_common"),
+          col("probe_size"), round(col("containment"), 6).as("containment"))
+    }),
+    "q_contaminated_probes_documents" -> ((s, dir) => {
+      val corpus = docs(s, dir)
+      val probe = corpus
+        .where(col("doc_id") % 23 === 0)
+        .select(col("doc_id").as("probe_id"),
+          substring(col("text"), 1, 120).as("text"))
+      Dedup.contaminatedProbes(
+          Dedup.contaminationPairs(corpus, "doc_id", probe, "probe_id", "text",
+            n = 3, maxDf = 50, minContainment = 0.4, broadcastProbe = true))
+        .select(col("probe_id"), col("n_matches"),
+          round(col("max_containment"), 6).as("max_containment"),
+          col("best_corpus_id"))
+    }),
     "q_cluster_documents" -> ((s, dir) =>
       // Near-dup CLUSTERS from pairs: connected components (iterative
       // min-label propagation) over the exact Jaccard pair graph —
@@ -501,6 +559,45 @@ object SparkEntry {
       |       FROM p JOIN sz sa ON sa.doc_id = p.id_a
       |              JOIN sz sb ON sb.doc_id = p.id_b)""".stripMargin
 
+  /** Cross-corpus contamination CTEs: corpus trigram index with the
+    * corpus hot-shingle (df > 50) filter, probe = 120-char prefixes of
+    * every 23rd doc, containment = |probe ∩ corpus| / |probe| — the
+    * exact replay of `Dedup.contaminationPairs` for the oracle.
+    */
+  private val contaminationCtes: String =
+    """cd AS (
+      | SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      | FROM documents WHERE text IS NOT NULL),
+      |cw AS (SELECT doc_id, string_split(t, ' ') AS ws FROM cd),
+      |cg AS (SELECT doc_id,
+      |  list_distinct(list_transform(range(1, len(ws) - 1),
+      |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gs
+      | FROM cw WHERE len(ws) >= 3),
+      |cs0 AS (SELECT doc_id, unnest(gs) AS sh FROM cg),
+      |hot AS (SELECT sh FROM cs0 GROUP BY sh HAVING count(*) > 50),
+      |cs AS (SELECT doc_id AS corpus_id, sh FROM cs0
+      |       WHERE sh NOT IN (SELECT sh FROM hot)),
+      |pd AS (
+      | SELECT doc_id AS probe_id,
+      |  trim(regexp_replace(lower(substr(text, 1, 120)), '\s+', ' ', 'g')) AS t
+      | FROM documents WHERE text IS NOT NULL AND doc_id % 23 = 0),
+      |pw AS (SELECT probe_id, string_split(t, ' ') AS ws FROM pd),
+      |pg AS (SELECT probe_id,
+      |  list_distinct(list_transform(range(1, len(ws) - 1),
+      |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gs
+      | FROM pw WHERE len(ws) >= 3),
+      |ps0 AS (SELECT probe_id, unnest(gs) AS sh FROM pg),
+      |ps AS (SELECT probe_id, sh FROM ps0
+      |       WHERE sh NOT IN (SELECT sh FROM hot)),
+      |psz AS (SELECT probe_id, count(*) AS probe_size FROM ps GROUP BY 1),
+      |cp AS (
+      | SELECT probe_id, corpus_id, count(*) AS n_common
+      | FROM cs JOIN ps USING (sh) GROUP BY 1, 2),
+      |cpj AS (
+      | SELECT probe_id, corpus_id, n_common, psz.probe_size,
+      |  n_common / CAST(psz.probe_size AS DOUBLE) AS containment
+      | FROM cp JOIN psz USING (probe_id))""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_validate_documents" -> docViolationsSql,
     "q_validate_elements_documents" -> elemViolationsSql,
@@ -590,6 +687,25 @@ object SparkEntry {
         |UNION ALL SELECT l_returnflag, 0.50, q50 FROM g
         |UNION ALL SELECT l_returnflag, 0.75, q75 FROM g
         |UNION ALL SELECT l_returnflag, 0.95, q95 FROM g""".stripMargin,
+    "q_outliers_lineitem" ->
+      """WITH v AS (
+        | SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS price
+        | FROM lineitem),
+        |b AS (
+        | SELECT l_returnflag,
+        |  quantile_cont(price, 0.25) AS q1, quantile_cont(price, 0.75) AS q3
+        | FROM v GROUP BY 1),
+        |f AS (
+        | SELECT l_returnflag, q1, q3,
+        |  q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+        | FROM b)
+        |SELECT v.l_returnflag, count(price) AS n_values,
+        | CAST(coalesce(sum(CASE WHEN price < lo OR price > hi
+        |                        THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_outliers,
+        | round(q1, 6) AS q1, round(q3, 6) AS q3,
+        | round(lo, 6) AS lo, round(hi, 6) AS hi
+        |FROM v JOIN f USING (l_returnflag)
+        |GROUP BY v.l_returnflag, q1, q3, lo, hi""".stripMargin,
     "q_unique_lineitem" ->
       """SELECT CAST(sum(n) AS BIGINT) AS n_rows, count(*) AS n_keys,
         | CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,
@@ -607,6 +723,14 @@ object SparkEntry {
         | count(*) AS n
         |FROM documents WHERE text IS NOT NULL GROUP BY 1, 2""".stripMargin,
     "q_ri_orders_customer" ->
+      """SELECT (SELECT count(*) FROM orders) AS n_rows,
+        | (SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS n_null_keys,
+        | (SELECT count(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+        |   AND NOT EXISTS (SELECT 1 FROM customer c
+        |                   WHERE c.c_custkey = o.o_custkey)) AS n_orphans""".stripMargin,
+    // Identical to q_ri_orders_customer by construction: the bloom path
+    // must not change the answer, only the shuffle volume.
+    "q_ri_bloom_orders_customer" ->
       """SELECT (SELECT count(*) FROM orders) AS n_rows,
         | (SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS n_null_keys,
         | (SELECT count(*) FROM orders o WHERE o.o_custkey IS NOT NULL
@@ -958,6 +1082,14 @@ object SparkEntry {
         |           ELSE 1000000 END)
         |GROUP BY lang""".stripMargin,
 
+    "q_reservoir_documents" ->
+      """SELECT lang, doc_id FROM (
+        | SELECT lang, doc_id, row_number() OVER (PARTITION BY lang ORDER BY
+        |   CAST('0x' || substring(md5(coalesce(CAST(doc_id AS VARCHAR), '__NULL_KEY__') || ':42'), 1, 8) AS UBIGINT) % 1000000,
+        |   doc_id) AS rk
+        | FROM documents)
+        |WHERE rk <= 7""".stripMargin,
+
     // --- deduplication -------------------------------------------------
     "q_dedup_exact_documents" ->
       """SELECT CAST(sum(n) AS BIGINT) AS n_rows, count(*) AS n_distinct,
@@ -971,6 +1103,24 @@ object SparkEntry {
         | CAST(size_a AS BIGINT) AS size_a, CAST(size_b AS BIGINT) AS size_b,
         | round(jaccard, 6) AS jaccard
         |FROM jp WHERE jaccard >= 0.5""".stripMargin,
+    "q_contamination_documents" ->
+      s"""WITH $contaminationCtes
+        |SELECT probe_id, corpus_id, CAST(n_common AS BIGINT) AS n_common,
+        | CAST(probe_size AS BIGINT) AS probe_size,
+        | round(containment, 6) AS containment
+        |FROM cpj WHERE containment >= 0.4""".stripMargin,
+    "q_contaminated_probes_documents" ->
+      s"""WITH $contaminationCtes,
+        |r AS (
+        | SELECT probe_id, corpus_id, n_common, containment,
+        |  row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY containment DESC, n_common DESC, corpus_id DESC) AS rn,
+        |  count(*) OVER (PARTITION BY probe_id) AS n_matches
+        | FROM cpj WHERE containment >= 0.4)
+        |SELECT probe_id, CAST(n_matches AS BIGINT) AS n_matches,
+        | round(containment, 6) AS max_containment,
+        | corpus_id AS best_corpus_id
+        |FROM r WHERE rn = 1""".stripMargin,
     // Transitive closure of the jaccard pair graph via a recursive CTE:
     // walk enumerates (node, reachable-node) over the symmetric edges;
     // min per node = the component's minimum id (the engine's label).

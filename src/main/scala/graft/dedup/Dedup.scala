@@ -113,14 +113,21 @@ object Dedup {
   /** Inverted index (id, shingle) with stop-shingles (df > maxDf)
     * removed — the scan-cost cap for every pairwise candidate join.
     */
-  private def shingleIndex(
-      df: DataFrame, idCol: String, textCol: String, n: Int, maxDf: Int,
-      scope: CacheScope): DataFrame = {
-    val idx = df
-      .where(col(textCol).isNotNull)
+  /** Exploded (id, shingle) rows — one per DISTINCT word n-gram per
+    * doc, no df filtering. Shared by [[shingleIndex]] and the
+    * cross-corpus [[contaminationPairs]].
+    */
+  private def rawShingleIndex(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.where(col(textCol).isNotNull)
       .select(col(idCol).as("id"),
         split(TextAnalysis.normalizeText(col(textCol)), " ").as("__words"))
       .select(col("id"), explode(wordShinglesFromWords(col("__words"), n)).as("shingle"))
+
+  private def shingleIndex(
+      df: DataFrame, idCol: String, textCol: String, n: Int, maxDf: Int,
+      scope: CacheScope): DataFrame = {
+    val idx = rawShingleIndex(df, idCol, textCol, n)
     // Stop-shingle removal via aggregate + broadcast ANTI-join against
     // the hot list: the hot list is tiny by construction (shingles with
     // df > maxDf), while a window-count formulation would sort the whole
@@ -174,6 +181,79 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "n_common", "size_a", "size_b", "jaccard")
   }
+
+  // -------------------------------------------------------------------
+  // 2b. Cross-corpus contamination (train/test n-gram containment)
+  // -------------------------------------------------------------------
+
+  /** Probe documents whose word-n-gram sets are substantially CONTAINED
+    * in some corpus document — the train/test-leakage check an LLM data
+    * pipeline runs before every eval (the published recipe is n-gram
+    * overlap between training corpus and benchmark sets; containment
+    * |probe ∩ corpus| / |probe| rather than Jaccard, because a short
+    * eval item buried in a long training doc should still score 1.0).
+    *
+    * Both sides drop the CORPUS's hot shingles (corpus df > `maxDf`) —
+    * the same fan-out cap as [[jaccardPairs]], applied symmetrically so
+    * the denominator counts only shingles that COULD have matched.
+    * Output: (probe_id, corpus_id, n_common, probe_size, containment)
+    * with containment ≥ `minContainment`; probe docs with zero
+    * post-filter shingles produce no rows.
+    *
+    * Scale: the probe side (an eval suite) is normally orders of
+    * magnitude smaller than the corpus — pass `broadcastProbe = true`
+    * and the corpus-side index never shuffles at all; otherwise the
+    * join is shingle-equality with fan-out bounded by maxDf × probe-df.
+    */
+  def contaminationPairs(
+      corpus: DataFrame,
+      corpusIdCol: String,
+      probe: DataFrame,
+      probeIdCol: String,
+      textCol: String,
+      n: Int = 5,
+      maxDf: Int = 100,
+      minContainment: Double = 0.5,
+      broadcastProbe: Boolean = false,
+      scope: CacheScope = CacheScope.shared): DataFrame = {
+    val corpusIdx = scope.cache(rawShingleIndex(corpus, corpusIdCol, textCol, n))
+    val hot = corpusIdx.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("__df"))
+      .where(col("__df") > maxDf)
+      .select(col("shingle"))
+    val cIdx = corpusIdx.join(broadcast(hot), Seq("shingle"), "left_anti")
+      .select(col("id").as("corpus_id"), col("shingle"))
+    val pIdx = scope.cache(
+      rawShingleIndex(probe, probeIdCol, textCol, n)
+        .join(broadcast(hot), Seq("shingle"), "left_anti")
+        .select(col("id").as("probe_id"), col("shingle")))
+    val sizes = pIdx.groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("probe_size"))
+    val joinSide = if (broadcastProbe) broadcast(pIdx) else pIdx
+    cIdx.join(joinSide, Seq("shingle"))
+      .groupBy(col("probe_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(if (broadcastProbe) broadcast(sizes) else sizes, Seq("probe_id"))
+      .withColumn("containment",
+        col("n_common").cast("double") / col("probe_size"))
+      .where(col("containment") >= minContainment)
+      .select("probe_id", "corpus_id", "n_common", "probe_size", "containment")
+  }
+
+  /** Per-probe contamination rollup over [[contaminationPairs]] output:
+    * (probe_id, n_matches, max_containment, best_corpus_id). Ties on
+    * containment resolve to the larger (n_common, corpus_id) — a total,
+    * reproducible order (struct max), never "first seen".
+    */
+  def contaminatedProbes(pairs: DataFrame): DataFrame =
+    pairs.groupBy(col("probe_id"))
+      .agg(
+        count(lit(1)).as("n_matches"),
+        max(struct(col("containment"), col("n_common"), col("corpus_id")))
+          .as("__best"))
+      .select(col("probe_id"), col("n_matches"),
+        col("__best.containment").as("max_containment"),
+        col("__best.corpus_id").as("best_corpus_id"))
 
   // -------------------------------------------------------------------
   // 3. MinHash + banded LSH

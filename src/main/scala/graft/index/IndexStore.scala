@@ -1,6 +1,7 @@
 package graft.index
 
 import graft.dedup.Dedup
+import graft.refint.RefIntegrity
 import graft.sim.{Ivf, Similarity}
 import graft.util.CacheScope
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SaveMode, SparkSession}
@@ -35,6 +36,7 @@ object IndexStore {
   final case class MinHashMeta(kind: String, k: Int, shingleN: Int)
   final case class LshMeta(kind: String, dim: Int, nPlanes: Int, nTables: Int, seed: Long)
   final case class IvfMeta(kind: String, dim: Int, nLists: Int, iters: Int, seed: Long)
+  final case class BloomMeta(kind: String, keys: String, expectedItems: Long, fpp: Double)
 
   // -------------------------------------------------------------------
   // meta sidecar
@@ -56,6 +58,65 @@ object IndexStore {
     require(actual == kind,
       s"index at $path is a '$actual' index, not '$kind'")
     spark.read.schema(enc.schema).json(s"$path/meta").as[T](enc).head()
+  }
+
+  // -------------------------------------------------------------------
+  // Bloom key-membership index (referential integrity at scale)
+  // -------------------------------------------------------------------
+
+  /** Build and persist a Bloom filter over `dim`'s key tuple — the
+    * build-once artifact for [[graft.refint.RefIntegrity]]'s bloom
+    * paths. MB-sized regardless of dim width, so every later fact scan
+    * loads it in one driver read and probes with zero shuffle.
+    */
+  def buildBloom(
+      dim: DataFrame,
+      keys: Seq[String],
+      path: String,
+      expectedItems: Long,
+      fpp: Double = 0.01): Unit = {
+    val spark = dim.sparkSession
+    val bytes = RefIntegrity.buildKeyBloom(dim, keys, expectedItems, fpp)
+    import spark.implicits._
+    Seq(Tuple1(bytes)).toDF("bloom")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/data")
+    writeMeta(spark, path,
+      BloomMeta("bloom", keys.mkString(","), expectedItems, fpp))(
+      Encoders.product[BloomMeta])
+  }
+
+  /** Stored filter bytes + build parameters. Callers must probe with
+    * the SAME key columns in the meta's recorded order.
+    */
+  def loadBloom(spark: SparkSession, path: String): (Array[Byte], BloomMeta) = {
+    val meta = readMeta[BloomMeta](spark, path, "bloom")(Encoders.product[BloomMeta])
+    val rows = spark.read.parquet(s"$path/data").collect()
+    require(rows.length == 1, s"bloom index at $path must hold exactly one row")
+    (rows.head.getAs[Array[Byte]]("bloom"), meta)
+  }
+
+  /** Incrementally fold a new dim slice into a stored Bloom index:
+    * deserialize, `putLong` each new key hash, rewrite. Bloom filters
+    * absorb re-inserted keys idempotently, so ingest retries are safe;
+    * the fpp guarantee holds while total distinct keys stay within the
+    * stored `expectedItems` (checked nowhere — the filter degrades
+    * gracefully to a higher fpp, never to false negatives).
+    */
+  def appendBloom(dim: DataFrame, path: String): Unit = {
+    val spark = dim.sparkSession
+    val (bytes, meta) = loadBloom(spark, path)
+    val keys = meta.keys.split(",").toSeq
+    val bf = graft.functions.BloomExprs.deserialize(bytes)
+    val nonNull = keys.map(col(_).isNotNull).reduce(_ && _)
+    // Merge via a per-partition filter build + driver-side mergeInPlace:
+    // ships one MB-sized filter per partition, never the key rows.
+    val partial = dim.where(nonNull)
+      .select(RefIntegrity.keyHash(keys).as("__kh"))
+      .stat.bloomFilter("__kh", meta.expectedItems, meta.fpp)
+    bf.mergeInPlace(partial)
+    import spark.implicits._
+    Seq(Tuple1(graft.functions.BloomExprs.serialize(bf))).toDF("bloom")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/data")
   }
 
   // -------------------------------------------------------------------

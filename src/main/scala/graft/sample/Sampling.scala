@@ -64,6 +64,35 @@ object Sampling {
       seed: Long = 42L): DataFrame =
     df.where(stratifiedKeep(keyCol, strataCol, rates, defaultRate, seed))
 
+  /** Exactly `min(k, |group|)` rows per group — the fixed-SIZE
+    * counterpart to [[stratified]]'s fixed-RATE sampling (per-domain
+    * caps, eval-set carving). Deterministic "reservoir": rows rank
+    * within their group by the same md5 bucket the rate sampler uses
+    * (tie-broken by the key itself — a total order when keys are
+    * unique), and the top k survive. A pure function of
+    * (key, group, seed): identical selection at any parallelism, any
+    * rerun, any engine — the oracle replays it row-for-row.
+    *
+    * Scale: ONE shuffle on the group column; Catalyst plans the
+    * rank-filter as `WindowGroupLimit`, so each input partition keeps
+    * only its local top-k per group BEFORE the exchange — the shuffle
+    * carries O(groups × k) rows per partition, not the corpus.
+    */
+  def reservoirPerGroup(
+      df: DataFrame,
+      keyCol: String,
+      groupCol: String,
+      k: Int,
+      seed: Long = 42L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(bucket(col(keyCol), seed), col(keyCol))
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   /** The stratified keep/drop DECISION as a boolean column — reusable
     * as a flag inside one-pass multi-stage aggregations (e.g. the
     * pipeline funnel), not just as a filter.

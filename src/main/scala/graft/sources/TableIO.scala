@@ -81,6 +81,44 @@ object TableIO {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** Write `df` as a BUCKETED external parquet table — the co-location
+    * contract a path-based parquet write cannot record. Two tables
+    * bucketed by the same keys into the same `nBuckets` join with NO
+    * exchange on either side (each scan already satisfies the join's
+    * required distribution), so at 100 TB the recurring fact-to-fact
+    * join pays its shuffle ONCE at write time and never again;
+    * `sortCols` additionally orders rows within each bucket file so
+    * the sort-merge join can skip its per-task sort too (requires one
+    * file per bucket — repartition by the bucket key before writing —
+    * and `spark.sql.legacy.bucketedTableScan.outputOrdering=true`,
+    * which Spark turned off by default in SPARK-28632; both plan
+    * shapes pinned by PlanSpec). Registered in the catalog as `tableName`
+    * (external, data at `path`); read back with `spark.table(...)` —
+    * a plain `read.parquet(path)` would not see the bucket metadata.
+    *
+    * Reference analog: the keyed precomputed view the app maintains so
+    * per-tick lookups never rescan (HomeViewModel.kt:43-47) — here the
+    * precomputed property is the data LAYOUT rather than the values.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      tableName: String,
+      path: String,
+      bucketCols: Seq[String],
+      nBuckets: Int,
+      sortCols: Seq[String] = Seq.empty,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(bucketCols.nonEmpty, "bucketCols must be non-empty")
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val w = df.write
+      .mode(mode)
+      .format("parquet")
+      .option("path", path)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.drop(1): _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.drop(1): _*) else w)
+      .saveAsTable(tableName)
+  }
+
   /** Small-file compaction — the table-maintenance analog of Iceberg's
     * `rewrite_data_files`: rewrite a parquet directory into
     * `ceil(totalBytes / targetFileBytes)` files. Streaming sinks and

@@ -113,6 +113,83 @@ object ColumnStats {
         :+ col("__q_val").as("value"): _*)
   }
 
+  /** Per-group Tukey fences from the quartiles:
+    * `(…groupCols, q1, q3, iqr, lo, hi)` with `lo = q1 - k·iqr`,
+    * `hi = q3 + k·iqr`. `exact = true` is the oracle-parity path
+    * (interpolating percentile ≡ DuckDB `quantile_cont`); the 100 TB
+    * path is the approx sketch. The result is O(groups) rows — always
+    * broadcastable back onto the data.
+    */
+  def outlierBounds(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      k: Double = 1.5,
+      exact: Boolean = false,
+      accuracy: Int = 10000
+  ): DataFrame = {
+    require(k >= 0d, s"fence multiplier must be >= 0, got $k")
+    val qArr = array(lit(0.25), lit(0.75))
+    val agg =
+      if (exact) call_function("percentile", col(valueCol), qArr)
+      else percentile_approx(col(valueCol), qArr, lit(accuracy))
+    val g = groupCols.map(col)
+    val grouped =
+      if (groupCols.isEmpty) df.agg(agg.cast("array<double>").as("__q"))
+      else df.groupBy(g: _*).agg(agg.cast("array<double>").as("__q"))
+    grouped
+      .select(g ++ Seq(col("__q")(0).as("q1"), col("__q")(1).as("q3")): _*)
+      .withColumn("iqr", col("q3") - col("q1"))
+      .withColumn("lo", col("q1") - lit(k) * col("iqr"))
+      .withColumn("hi", col("q3") + lit(k) * col("iqr"))
+  }
+
+  /** Rows falling outside their group's Tukey fences. Two passes over
+    * the data (quartile aggregation, then a BROADCAST join of the
+    * O(groups) bounds back onto the scan — the fact table never
+    * shuffles for the join). Null values are never outliers.
+    */
+  def outliers(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      k: Double = 1.5,
+      exact: Boolean = false,
+      accuracy: Int = 10000
+  ): DataFrame = {
+    require(groupCols.nonEmpty, "outliers requires at least one group column")
+    val b = outlierBounds(df, valueCol, groupCols, k, exact, accuracy)
+      .select(groupCols.map(col) :+ col("lo") :+ col("hi"): _*)
+    df.join(broadcast(b), groupCols)
+      .where(col(valueCol) < col("lo") || col(valueCol) > col("hi"))
+  }
+
+  /** One row per group: `(…groupCols, n_values, n_outliers, q1, q3,
+    * lo, hi)` — the drift-dashboard form of [[outliers]].
+    */
+  def outlierSummary(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      k: Double = 1.5,
+      exact: Boolean = false,
+      accuracy: Int = 10000
+  ): DataFrame = {
+    require(groupCols.nonEmpty, "outlierSummary requires at least one group column")
+    val b = outlierBounds(df, valueCol, groupCols, k, exact, accuracy)
+    val out = (col(valueCol) < col("lo") || col(valueCol) > col("hi"))
+      .cast("long")
+    df.join(broadcast(b), groupCols)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(col(valueCol)).as("n_values"),
+        coalesce(sum(out), lit(0L)).as("n_outliers"),
+        first(col("q1")).as("q1"),
+        first(col("q3")).as("q3"),
+        first(col("lo")).as("lo"),
+        first(col("hi")).as("hi"))
+  }
+
   /** Value-length histogram per group: `(…groupCols, bin, n)` where
     * `bin = floor(length(col)/binWidth)`. Shared by drift detection.
     * Nulls are excluded (they're the null-rate stat's job).

@@ -248,4 +248,31 @@ object StreamingValidator {
         ()
       }
       .start()
+
+  /** Streaming maintenance of a persistent MinHash index: each
+    * micro-batch folds its NEW documents into the stored index via
+    * [[graft.index.IndexStore.appendMinHash]] — signatures computed
+    * with the index's stored parameters, and the append's stored-id
+    * anti-join makes micro-batch REPLAY (at-least-once delivery,
+    * checkpoint recovery) a row-level no-op. The corpus-scale shape:
+    * ingest indexes only the day's slice; dedup queries hit the stored
+    * index, never a corpus rebuild.
+    */
+  def minHashIndexSink(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexPath: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("500 milliseconds")
+  ): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.index.IndexStore.appendMinHash(batch, idCol, textCol, indexPath)
+        ()
+      }
+      .start()
 }

@@ -66,6 +66,51 @@ class DedupSpec extends SparkSpec {
     assert(pairs.count() === 0L)
   }
 
+  test("contamination: probe prefix contained in its source doc; unrelated probe absent") {
+    val corpus = docs(
+      1L -> "the quick brown fox jumps over the lazy dog near the quiet river bank today",
+      2L -> "completely different words entirely unrelated content goes right here now")
+    val probe = docs(
+      10L -> "the quick brown fox jumps over the lazy dog", // prefix of doc 1
+      11L -> "nothing from either corpus document appears within this probe")
+      .withColumnRenamed("doc_id", "probe_id")
+    val pairs = Dedup.contaminationPairs(corpus, "doc_id", probe, "probe_id",
+        "text", n = 3, maxDf = 100, minContainment = 0.3)
+      .collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("corpus_id")) ->
+        r.getAs[Double]("containment"))
+      .toMap
+    // every trigram of the prefix appears in doc 1 → containment 1.0
+    assert(pairs((10L, 1L)) === 1.0)
+    assert(!pairs.keySet.exists { case (p, _) => p == 11L })
+    assert(!pairs.keySet.exists { case (_, c) => c == 2L })
+    // broadcastProbe is a pure execution hint — identical rows
+    val bcast = Dedup.contaminationPairs(corpus, "doc_id", probe, "probe_id",
+      "text", n = 3, maxDf = 100, minContainment = 0.3, broadcastProbe = true)
+    val plain = Dedup.contaminationPairs(corpus, "doc_id", probe, "probe_id",
+      "text", n = 3, maxDf = 100, minContainment = 0.3)
+    assert(bcast.exceptAll(plain).isEmpty && plain.exceptAll(bcast).isEmpty)
+  }
+
+  test("contaminatedProbes: deterministic best match, tie-broken by (n_common, corpus_id)") {
+    val corpus = docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta") // exact dup of 1
+    val probe = docs(10L -> "alpha beta gamma delta epsilon")
+      .withColumnRenamed("doc_id", "probe_id")
+    val best = Dedup.contaminatedProbes(
+        Dedup.contaminationPairs(corpus, "doc_id", probe, "probe_id", "text",
+          n = 3, maxDf = 100, minContainment = 0.3))
+      .collect()
+    assert(best.length === 1)
+    val r = best.head
+    assert(r.getAs[Long]("probe_id") === 10L)
+    assert(r.getAs[Long]("n_matches") === 2L)
+    assert(r.getAs[Double]("max_containment") === 1.0)
+    // identical containment and n_common → larger corpus_id wins
+    assert(r.getAs[Long]("best_corpus_id") === 2L)
+  }
+
   test("minhash: signature length k; estimated jaccard tracks exact for near-dups") {
     val df = docs(
       1L -> base,

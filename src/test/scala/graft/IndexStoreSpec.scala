@@ -155,6 +155,30 @@ class IndexStoreSpec extends SparkSpec {
     assert(key(half) === key(full))
   }
 
+  test("bloom: stored filter probes like a fresh build; append folds a new dim slice in") {
+    import graft.data.SynthGen
+    import graft.refint.RefIntegrity
+    val files = SynthGen.codeFiles(spark, SynthGen.Config(rows = 6000L))
+    val dim = SynthGen.dimCommits(spark, SynthGen.Config(rows = 6000L))
+    val keys = Seq("repo", "commit")
+    val path = tmpDir("bloom")
+
+    // Build over HALF the dim, then append the full dim (idempotent
+    // re-inserts): the stored filter must now cover every dim key.
+    IndexStore.buildBloom(dim.where(xxhash64(col("repo"), col("commit")) % 2 === 0),
+      keys, path, expectedItems = 10000L, fpp = 0.01)
+    IndexStore.appendBloom(dim, path)
+
+    val (bytes, meta) = IndexStore.loadBloom(spark, path)
+    assert(meta.keys === "repo,commit" && meta.fpp === 0.01)
+    val plain = RefIntegrity.orphans(files, dim, keys)
+    val fast = RefIntegrity.orphansWithBloom(files, dim, keys, bytes)
+    assert(fast.exceptAll(plain).isEmpty && plain.exceptAll(fast).isEmpty)
+    // and the approximate path still never invents an orphan
+    assert(RefIntegrity.orphansApprox(files, keys, bytes)
+      .exceptAll(plain).isEmpty)
+  }
+
   test("kind mismatch fails loudly at load") {
     val path = tmpDir("kind")
     IndexStore.buildMinHash(docs, "doc_id", "text", path)

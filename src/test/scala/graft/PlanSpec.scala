@@ -56,6 +56,53 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"))
   }
 
+  test("co-bucketed tables sort-merge join with zero exchanges and zero sorts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan-bucket").toString
+    // repartition by the bucket key first → ONE file per bucket, which
+    // is what lets the scan vouch for within-bucket sortedness
+    val left = spark.range(1000).select(
+      (col("id") % 41).as("k"), col("id").as("a")).repartition(8, col("k"))
+    val right = spark.range(300).select(
+      (col("id") % 41).as("k"), col("id").as("b")).repartition(8, col("k"))
+    val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      graft.sources.TableIO.writeBucketed(left, "plan_bl", s"$dir/l", Seq("k"), 8, Seq("k"))
+      graft.sources.TableIO.writeBucketed(right, "plan_br", s"$dir/r", Seq("k"), 8, Seq("k"))
+      // force the sort-merge path (tiny test tables would broadcast)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("plan_bl").join(spark.table("plan_br"), Seq("k"))
+      val p = physical(j)
+      assert(p.toString.contains("SortMergeJoin"))
+      assert(shuffles(j).isEmpty, "co-bucketed join must not exchange either side")
+      assert(p.toString.contains("Bucketed: true"))
+      // with the write-time sortBy honored (off by default since
+      // SPARK-28632 — one file per bucket required), the per-task
+      // sorts disappear too
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val p2 = physical(spark.table("plan_bl").join(spark.table("plan_br"), Seq("k")))
+      assert(p2.collect { case s: org.apache.spark.sql.execution.SortExec => s }.isEmpty,
+        "bucket-sorted tables must not re-sort for the join")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+      spark.sql("DROP TABLE IF EXISTS plan_bl")
+      spark.sql("DROP TABLE IF EXISTS plan_br")
+    }
+  }
+
+  test("approximate bloom RI is a shuffle-free scan; exact path joins only probe-hits") {
+    val dim = docs.select(col("doc_id")).limit(100)
+    val bloom = RefIntegrity.buildKeyBloom(dim, Seq("doc_id"), 1000L)
+    // probe-only path: one codegen'd filter over the fact scan, no
+    // exchange, no dim access
+    assert(shuffles(RefIntegrity.orphansApprox(docs, Seq("doc_id"), bloom)).isEmpty)
+    // exact path: the bloom probe appears as a pushed filter on the
+    // candidate branch (might_contain_long in the plan), not a UDF
+    val p = physical(RefIntegrity.orphansWithBloom(
+      docs, dim, Seq("doc_id"), bloom, broadcastDim = true)).toString
+    assert(p.contains("might_contain_long"))
+  }
+
   test("column pruning reaches the scan for narrow projections") {
     val q = docs.select(col("doc_id"), length(col("text")).as("len"))
     val scans = physical(q).toString

@@ -61,4 +61,22 @@ class SamplingSpec extends SparkSpec {
     val k2 = Sampling.sampleByKey(df, "id", 0.5).count()
     assert(k1 === k2)
   }
+
+  test("reservoirPerGroup: exactly min(k, |group|) rows, parallelism-invariant") {
+    val sample = Sampling.reservoirPerGroup(docs, "doc_id", "lang", k = 7)
+    val perGroup = sample.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perGroup.keySet === full.keySet) // no group lost
+    perGroup.foreach { case (g, n) => assert(n === math.min(7L, full(g))) }
+    // sample rows come from the input (same doc stays selected)
+    assert(sample.join(docs, Seq("doc_id"), "left_anti").count() === 0)
+    // identical selection at a different parallelism
+    val repart = Sampling.reservoirPerGroup(
+      docs.repartition(3), "doc_id", "lang", k = 7)
+    val a = sample.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = repart.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+  }
 }

@@ -76,4 +76,28 @@ class StatsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
     assert(out === Set((0L, 1L), (1L, 1L), (2L, 1L)))
   }
+
+  test("outliers: planted extremes flagged, bulk untouched; summary agrees with row set") {
+    // 100 tightly clustered values + two planted extremes per group
+    val rows =
+      (1 to 100).map(i => ("a", 100.0 + (i % 10))) ++
+        Seq(("a", 10000.0), ("a", -10000.0)) ++
+        (1 to 100).map(i => ("b", 5.0 + (i % 3) * 0.1))
+    val df = rows.toDF("g", "v")
+    val out = ColumnStats.outliers(df, "v", Seq("g"), k = 1.5, exact = true)
+      .select($"g", $"v").collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(out === Set(("a", 10000.0), ("a", -10000.0)))
+    val sum = ColumnStats.outlierSummary(df, "v", Seq("g"), k = 1.5, exact = true)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(5), r.getDouble(6))).toMap
+    assert(sum("a")._1 === 102L && sum("a")._2 === 2L)
+    assert(sum("b")._1 === 100L && sum("b")._2 === 0L)
+    // fences bracket the bulk
+    assert(sum("a")._3 > -10000.0 && sum("a")._4 < 10000.0)
+    // null values are never outliers
+    val withNull = df.union(Seq(("a", null.asInstanceOf[java.lang.Double]))
+      .toDF("g", "v"))
+    assert(ColumnStats.outliers(withNull, "v", Seq("g"), exact = true)
+      .where($"v".isNull).count() === 0)
+  }
 }

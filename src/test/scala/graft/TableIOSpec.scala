@@ -146,4 +146,25 @@ class TableIOSpec extends SparkSpec {
     val back = spark.read.parquet(out).as[(Long, String)].collect().toSet
     assert(back === Set((9L, "en"), (2L, "de"))) // de untouched, en replaced
   }
+
+  test("bucketed write round-trips rows and join results exactly") {
+    val dir = Files.createTempDirectory("graft-bucket").toString
+    val facts = (1L to 500L).map(i => (i % 37, i, s"v$i")).toDF("k", "id", "payload")
+    val dims = (0L to 36L).map(k => (k, s"dim$k")).toDF("k", "name")
+    try {
+      TableIO.writeBucketed(facts, "tio_facts", s"$dir/facts", Seq("k"), 8, Seq("k"))
+      TableIO.writeBucketed(dims, "tio_dims", s"$dir/dims", Seq("k"), 8, Seq("k"))
+      val bf = spark.table("tio_facts")
+      val bd = spark.table("tio_dims")
+      assert(bf.count() === 500L)
+      val bucketed = bf.join(bd, Seq("k"))
+        .select($"k", $"id", $"payload", $"name")
+      val plain = facts.join(dims, Seq("k"))
+        .select($"k", $"id", $"payload", $"name")
+      assert(bucketed.exceptAll(plain).isEmpty && plain.exceptAll(bucketed).isEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS tio_facts")
+      spark.sql("DROP TABLE IF EXISTS tio_dims")
+    }
+  }
 }

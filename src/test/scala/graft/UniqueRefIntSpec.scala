@@ -47,4 +47,34 @@ class UniqueRefIntSpec extends SparkSpec {
     val matched = RefIntegrity.matched(files, dim, Seq("repo", "commit")).count()
     assert(matched + s.getLong(2) + s.getLong(1) === s.getLong(0))
   }
+
+  test("bloom RI: exact path is row-identical to the plain anti-join") {
+    val dim = SynthGen.dimCommits(spark, SynthGen.Config(rows = 6000L))
+    val bloom = RefIntegrity.buildKeyBloom(
+      dim, Seq("repo", "commit"), expectedItems = 10000L, fpp = 0.01)
+    val plain = RefIntegrity.orphans(files, dim, Seq("repo", "commit"))
+    val fast = RefIntegrity.orphansWithBloom(
+      files, dim, Seq("repo", "commit"), bloom)
+    assert(fast.exceptAll(plain).isEmpty && plain.exceptAll(fast).isEmpty)
+    val s1 = RefIntegrity.summary(files, dim, Seq("repo", "commit")).first()
+    val s2 = RefIntegrity.summaryWithBloom(
+      files, dim, Seq("repo", "commit"), bloom).first()
+    assert(s1 === s2)
+  }
+
+  test("bloom RI: approximate orphans are a subset with bounded misses, zero false orphans") {
+    val dim = SynthGen.dimCommits(spark, SynthGen.Config(rows = 6000L))
+    val bloom = RefIntegrity.buildKeyBloom(
+      dim, Seq("repo", "commit"), expectedItems = 10000L, fpp = 0.01)
+    val plain = RefIntegrity.orphans(files, dim, Seq("repo", "commit"))
+    val approx = RefIntegrity.orphansApprox(files, Seq("repo", "commit"), bloom)
+    // probe-miss is definitive: no approx orphan that isn't a real one
+    assert(approx.exceptAll(plain).isEmpty)
+    // misses are the fpp collisions only: recall well above 1 - 10*fpp
+    val (nPlain, nApprox) = (plain.count(), approx.count())
+    assert(nPlain > 0)
+    assert(nApprox >= (nPlain * 0.9).toLong,
+      s"approx found $nApprox of $nPlain orphans")
+    assert(approx.where(col("repo").isNull || col("commit").isNull).count() === 0)
+  }
 }
