@@ -147,6 +147,46 @@ object SparkEntry {
         struct(col("lang").as("name"), (col("n_chars") - lit(200L)).as("n")))
         .as("accounts"))
 
+  /** documents recast for the extended rule vocabulary (round 3):
+    * `tags` array (contains), `legacy_src` present only on a doc_id
+    * residue class (excludes vs `source`), `attrs` map
+    * (keysrules/valuesrules; key null-coalesced — map keys must be
+    * non-null), plus raw `source`/`n_chars` for the combinators.
+    * Mirrored exactly by the `q_validate_rules_documents` oracle,
+    * including Spark's array/map cast-to-string renderings.
+    */
+  private def docsRules(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      array(col("lang"), col("source")).as("tags"),
+      when(pmod(col("doc_id"), lit(7)) === 0, col("source")).as("legacy_src"),
+      col("source"),
+      col("n_chars"),
+      map(coalesce(col("lang"), lit("null")), col("source")).as("attrs"))
+
+  /** Extended-vocabulary schema: contains, excludes, all four
+    * combinators, and map keysrules/valuesrules — thresholds chosen so
+    * every rule fires on real sf0.01 rows (incl. a warning-channel
+    * combinator).
+    */
+  private val extSchema = Schema.of(
+    "tags" -> FieldSpec(contains = Some(Seq("en", "src1"))),
+    "legacy_src" -> FieldSpec(excludes = Seq("source")),
+    "n_chars" -> FieldSpec(
+      // anyof: the low band or the high band (warning channel)
+      anyOf = Seq(FieldSpec(max = Some(120d)), FieldSpec(min = Some(480d))),
+      // oneof: OVERLAPPING bands — the overlap [300,400] passes both
+      oneOf = Seq(
+        FieldSpec(min = Some(100d), max = Some(400d)),
+        FieldSpec(min = Some(300d), max = Some(500d))),
+      ruleSeverity = Map("anyof" -> graft.schema.Severity.Warning)),
+    "source" -> FieldSpec(
+      allOf = Seq(FieldSpec(regex = Some("src[0-9]+")), FieldSpec(minLength = Some(4))),
+      noneOf = Seq(FieldSpec(allowed = Some(Seq("src13"))))),
+    "attrs" -> FieldSpec(
+      keysRules = Some(FieldSpec(allowed = Some(Seq("de", "en", "es", "fr")))),
+      valuesRules = Some(FieldSpec(regex = Some("src[0-9]{1,2}")))))
+
   /** documents + a deterministically PII-injected text derivative —
     * the synthetic corpus contains no natural PII, so the redaction
     * entry injects one category per doc_id residue class (emails+URLs,
@@ -173,6 +213,10 @@ object SparkEntry {
       // like accounts[1].name (explode → compiled rules → filter).
       Validator.elementViolations(docsWithAccounts(s, dir),
         accountElemSchema, "accounts", Seq("doc_id"))),
+    "q_validate_rules_documents" -> ((s, dir) =>
+      // Extended Cerberus vocabulary: contains/excludes/anyof/allof/
+      // oneof/noneof/keysrules/valuesrules (round 3).
+      Validator.violations(docsRules(s, dir), extSchema, Seq("doc_id"))),
     "q_verdict_documents" -> ((s, dir) =>
       Verdict.compute(docs(s, dir), docSchema, "lang")),
     "q_verdict_rollup_documents" -> ((s, dir) =>
@@ -600,6 +644,48 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_validate_documents" -> docViolationsSql,
+    // Extended vocabulary: each rule's predicate + Spark's exact
+    // container cast-to-string rendering, replayed literally.
+    "q_validate_rules_documents" ->
+      """SELECT doc_id, 'tags' AS field, 'contains' AS rule,
+        | '[' || coalesce(lang, 'null') || ', ' || coalesce(source, 'null') || ']' AS value,
+        | 'error' AS severity
+        |FROM documents
+        |WHERE NOT (coalesce(lang = 'en', FALSE) OR coalesce(source = 'en', FALSE))
+        |   OR NOT (coalesce(lang = 'src1', FALSE) OR coalesce(source = 'src1', FALSE))
+        |UNION ALL
+        |SELECT doc_id, 'legacy_src', 'excludes', source, 'error'
+        |FROM documents WHERE doc_id % 7 = 0 AND source IS NOT NULL
+        |UNION ALL
+        |SELECT doc_id, 'n_chars', 'anyof', CAST(n_chars AS VARCHAR), 'warning'
+        |FROM documents
+        |WHERE n_chars IS NOT NULL AND NOT (n_chars <= 120 OR n_chars >= 480)
+        |UNION ALL
+        |SELECT doc_id, 'n_chars', 'oneof', CAST(n_chars AS VARCHAR), 'error'
+        |FROM documents
+        |WHERE n_chars IS NOT NULL AND
+        | (CASE WHEN n_chars >= 100 AND n_chars <= 400 THEN 1 ELSE 0 END +
+        |  CASE WHEN n_chars >= 300 AND n_chars <= 500 THEN 1 ELSE 0 END) <> 1
+        |UNION ALL
+        |SELECT doc_id, 'source', 'allof', source, 'error'
+        |FROM documents
+        |WHERE source IS NOT NULL AND
+        | NOT (regexp_full_match(source, 'src[0-9]+') AND length(source) >= 4)
+        |UNION ALL
+        |SELECT doc_id, 'source', 'noneof', source, 'error'
+        |FROM documents WHERE source IS NOT NULL AND source = 'src13'
+        |UNION ALL
+        |SELECT doc_id, 'attrs', 'keysrules',
+        | '{' || coalesce(lang, 'null') || ' -> ' || coalesce(source, 'null') || '}',
+        | 'error'
+        |FROM documents
+        |WHERE coalesce(lang, 'null') NOT IN ('de', 'en', 'es', 'fr')
+        |UNION ALL
+        |SELECT doc_id, 'attrs', 'valuesrules',
+        | '{' || coalesce(lang, 'null') || ' -> ' || coalesce(source, 'null') || '}',
+        | 'error'
+        |FROM documents
+        |WHERE source IS NOT NULL AND NOT regexp_full_match(source, 'src[0-9]{1,2}')""".stripMargin,
     "q_validate_elements_documents" -> elemViolationsSql,
     "q_verdict_documents" ->
       s"""SELECT lang, count(*) AS n_rows,

@@ -58,32 +58,9 @@ object RuleCompiler {
       else None
     ).flatten
 
-    val valueRules = Seq(
-      if (spec.notEmpty) Some(rule("empty", nonNull && trim(vStr) === ""))
-      else None,
-      spec.dtype.map { t =>
-        // Cerberus `type`: value must be interpretable as the target type
-        // (try_cast-and-compare; a failed cast yields null — ANSI-safe).
-        rule("type", nonNull && v.try_cast(t).isNull)
-      },
-      spec.regex.map { p =>
-        // Whole-string anchoring, like the reference's `matches` (not
-        // `find`) at app/.../TotpUtil.kt:28.
-        rule("regex", nonNull && !regexp_like(vStr, lit(anchor(p))))
-      },
-      spec.allowed.map { vals =>
-        rule("allowed", nonNull && !v.isin(vals: _*))
-      },
-      spec.forbidden.map { vals =>
-        // Cerberus `forbidden`: the complement of `allowed` — listed
-        // values are rejected, everything else passes.
-        rule("forbidden", nonNull && v.isin(vals: _*))
-      },
-      spec.min.map(m => rule("min", nonNull && v < lit(m))),
-      spec.max.map(m => rule("max", nonNull && v > lit(m))),
-      spec.minLength.map(m => rule("minlength", nonNull && length(vStr) < lit(m))),
-      spec.maxLength.map(m => rule("maxlength", nonNull && length(vStr) > lit(m)))
-    ).flatten
+    val valueRules = valueRuleFails(spec, v).map { case (r, fails) =>
+      rule(r, fails)
+    }
 
     val depRule =
       if (spec.dependencies.isEmpty) Nil
@@ -98,13 +75,100 @@ object RuleCompiler {
         Seq(rule("dependencies", nonNull && unsatisfied))
       }
 
+    // Cerberus `excludes` — mutual exclusion, the complement of
+    // `dependencies`: a non-null value here demands every listed field
+    // be null.
+    val exclRule =
+      if (spec.excludes.isEmpty) Nil
+      else Seq(rule("excludes",
+        nonNull && spec.excludes.map(col(_).isNotNull).reduce(_ || _)))
+
+    // Combinators: each sub-spec is a value-only predicate; the
+    // combinator emits ONE violation on the parent field's channel.
+    def passCount(subs: Seq[FieldSpec]): Column =
+      subs.map(s0 => when(passes(s0, v), 1).otherwise(0)).reduce(_ + _)
+    val combinatorRules = Seq(
+      if (spec.anyOf.isEmpty) None
+      else Some(rule("anyof", nonNull && !spec.anyOf.map(passes(_, v)).reduce(_ || _))),
+      if (spec.allOf.isEmpty) None
+      else Some(rule("allof", nonNull && !spec.allOf.map(passes(_, v)).reduce(_ && _))),
+      if (spec.noneOf.isEmpty) None
+      else Some(rule("noneof", nonNull && spec.noneOf.map(passes(_, v)).reduce(_ || _))),
+      if (spec.oneOf.isEmpty) None
+      else Some(rule("oneof", nonNull && passCount(spec.oneOf) =!= 1))
+    ).flatten
+
+    // Map-column element rules. `forall` is a higher-order function
+    // (CodegenFallback, outside whole-stage codegen) — acceptable here
+    // because a map column is bounded per row; unbounded collections
+    // belong in Validator.elementViolations (explode, fully codegen'd).
+    val mapRules = Seq(
+      spec.keysRules.map(kr =>
+        rule("keysrules", nonNull && !forall(map_keys(v), k => passes(kr, k)))),
+      spec.valuesRules.map(vr =>
+        rule("valuesrules", nonNull && !forall(map_values(v), x => passes(vr, x))))
+    ).flatten
+
     val customRules = spec.checks.map { c =>
       CompiledRule(name, c.rule, nonNull && !coalesce(c.pass(v), lit(false)),
         vStr, spec.ruleSeverity.getOrElse(c.rule, c.severity))
     }
 
-    nullRules ++ valueRules ++ depRule ++ customRules
+    nullRules ++ valueRules ++ depRule ++ exclRule ++ combinatorRules ++
+      mapRules ++ customRules
   }
+
+  /** The simple VALUE rules of a spec as (rule, fails) pairs over an
+    * already-normalized value — shared by the field path and the
+    * combinator / keysrules / valuesrules sub-spec paths. Every
+    * predicate embeds its own non-null guard, so a null value fails
+    * nothing here (null handling is `required`/`nullable`'s job).
+    */
+  private def valueRuleFails(spec: FieldSpec, v: Column): Seq[(String, Column)] = {
+    val vStr = v.cast(StringType)
+    val nonNull = v.isNotNull
+    Seq(
+      if (spec.notEmpty) Some("empty" -> (nonNull && trim(vStr) === ""))
+      else None,
+      spec.dtype.map { t =>
+        // Cerberus `type`: value must be interpretable as the target type
+        // (try_cast-and-compare; a failed cast yields null — ANSI-safe).
+        "type" -> (nonNull && v.try_cast(t).isNull)
+      },
+      spec.regex.map { p =>
+        // Whole-string anchoring, like the reference's `matches` (not
+        // `find`) at app/.../TotpUtil.kt:28.
+        "regex" -> (nonNull && !regexp_like(vStr, lit(anchor(p))))
+      },
+      spec.allowed.map(vals => "allowed" -> (nonNull && !v.isin(vals: _*))),
+      spec.forbidden.map { vals =>
+        // Cerberus `forbidden`: the complement of `allowed` — listed
+        // values are rejected, everything else passes.
+        "forbidden" -> (nonNull && v.isin(vals: _*))
+      },
+      spec.min.map(m => "min" -> (nonNull && v < lit(m))),
+      spec.max.map(m => "max" -> (nonNull && v > lit(m))),
+      spec.minLength.map(m => "minlength" -> (nonNull && length(vStr) < lit(m))),
+      spec.maxLength.map(m => "maxlength" -> (nonNull && length(vStr) > lit(m))),
+      spec.contains.map { vals =>
+        // Cerberus `contains` (array columns): the array must contain
+        // EVERY listed value; array_except(needles, v) is non-empty iff
+        // some needle is missing.
+        "contains" ->
+          (nonNull && size(array_except(array(vals.map(lit): _*), v)) > 0)
+      }
+    ).flatten
+  }
+
+  /** True iff the (non-null) value passes every value rule of a
+    * value-only sub-spec; a spec with no rules passes everything.
+    */
+  private def passes(spec: FieldSpec, v: Column): Column =
+    valueRuleFails(spec, v)
+      .map(_._2)
+      .reduceOption(_ || _)
+      .map(f => !f)
+      .getOrElse(lit(true))
 
   /** Regexes anchor the whole string unless the author anchored them. */
   private def anchor(p: String): String = {

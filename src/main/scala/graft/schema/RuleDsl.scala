@@ -8,8 +8,9 @@ import org.apache.spark.sql.types.DataType
   * Rule vocabulary (closed set, cf. the reference's closed error enum at
   * reference rust/src/lib.rs:28-46): `required`, `nullable`, `empty`,
   * `type`, `regex`, `allowed`, `forbidden`, `min`, `max`, `minlength`,
-  * `maxlength`, `dependencies`, plus named custom checks (e.g.
-  * `check_sha256`).
+  * `maxlength`, `dependencies`, `contains`, `excludes`, the combinators
+  * `anyof`/`allof`/`oneof`/`noneof`, map-column `keysrules`/
+  * `valuesrules`, plus named custom checks (e.g. `check_sha256`).
   *
   * Semantics, pinned by `graft.ValidatorSpec`:
   *   - Normalization runs BEFORE every rule (coercion-first, cf. reference
@@ -25,6 +26,19 @@ import org.apache.spark.sql.types.DataType
   *   - `dependencies`: the field (when non-null) is only valid if each
   *     dependency field is non-null and, when an allowed-value list is
   *     given, its value is in that list.
+  *   - `excludes`: the mutual-exclusion complement of `dependencies` —
+  *     the field (when non-null) is only valid if every listed field IS
+  *     null (public-Cerberus `excludes`).
+  *   - `contains` (array columns): the array must contain EVERY listed
+  *     value (public-Cerberus `contains` on containers).
+  *   - Combinators take VALUE-ONLY sub-specs (see [[FieldSpec.valueOnly]])
+  *     evaluated against the parent-normalized value: `anyof` fails when
+  *     no sub-spec passes, `allof` when any fails, `noneof` when any
+  *     passes, `oneof` unless exactly one passes. A combinator reports
+  *     ONE violation on the PARENT field's channel — sub-spec rules are
+  *     predicates, not reporters.
+  *   - `keysrules` / `valuesrules` (map columns): every key / value of
+  *     the map must pass a value-only sub-spec.
   */
 final case class FieldSpec(
     dtype: Option[DataType] = None,
@@ -39,6 +53,14 @@ final case class FieldSpec(
     minLength: Option[Int] = None,
     maxLength: Option[Int] = None,
     dependencies: Map[String, Seq[String]] = Map.empty,
+    excludes: Seq[String] = Nil,
+    contains: Option[Seq[Any]] = None,
+    anyOf: Seq[FieldSpec] = Nil,
+    allOf: Seq[FieldSpec] = Nil,
+    oneOf: Seq[FieldSpec] = Nil,
+    noneOf: Seq[FieldSpec] = Nil,
+    keysRules: Option[FieldSpec] = None,
+    valuesRules: Option[FieldSpec] = None,
     normalize: Option[Column => Column] = None,
     checks: Seq[CustomCheck] = Nil,
     severity: String = Severity.Error,
@@ -51,12 +73,35 @@ final case class FieldSpec(
   // field's custom check names.
   private val knownRules = Set("required", "nullable", "empty", "type",
     "regex", "allowed", "forbidden", "min", "max", "minlength",
-    "maxlength", "dependencies") ++ checks.map(_.rule)
+    "maxlength", "dependencies", "contains", "excludes", "anyof",
+    "allof", "oneof", "noneof", "keysrules",
+    "valuesrules") ++ checks.map(_.rule)
   ruleSeverity.keys.foreach { k =>
     require(knownRules.contains(k),
       s"ruleSeverity key '$k' names no rule of this field " +
         s"(known: ${knownRules.toSeq.sorted.mkString(", ")})")
   }
+  // Combinator / map-rule sub-specs are predicates over ONE value: any
+  // row-level or reporting machinery inside them is a misconfiguration,
+  // rejected here (E1: misconfig fails at construction, not mid-job).
+  (anyOf.map(("anyof", _)) ++ allOf.map(("allof", _)) ++
+    oneOf.map(("oneof", _)) ++ noneOf.map(("noneof", _)) ++
+    keysRules.map(("keysrules", _)) ++ valuesRules.map(("valuesrules", _)))
+    .foreach { case (rule, sub) =>
+      require(sub.valueOnly,
+        s"$rule sub-spec must be value-only: no required/nullable=false/" +
+          "dependencies/excludes/nested combinators/keysrules/valuesrules/" +
+          "normalize/checks/ruleSeverity")
+    }
+
+  /** True when this spec carries only simple value rules — the shape
+    * combinator and keysrules/valuesrules sub-specs must have.
+    */
+  def valueOnly: Boolean =
+    !required && nullable && dependencies.isEmpty && excludes.isEmpty &&
+      anyOf.isEmpty && allOf.isEmpty && oneOf.isEmpty && noneOf.isEmpty &&
+      keysRules.isEmpty && valuesRules.isEmpty && normalize.isEmpty &&
+      checks.isEmpty && ruleSeverity.isEmpty
 }
 
 /** Violation severity channels — closed, ordered vocabulary mirroring

@@ -260,4 +260,90 @@ class ValidatorSpec extends SparkSpec {
       checks = Seq(CustomCheck("check_sha256", identity)),
       ruleSeverity = Map("check_sha256" -> graft.schema.Severity.Warning))
   }
+
+  test("excludes: a non-null value demands the listed fields be null") {
+    val df = Seq(
+      (1, "legacy", "new"), // both present -> violation
+      (2, "legacy", null),  // exclusion holds
+      (3, null, "new")      // field null -> excludes doesn't fire
+    ).toDF("id", "old_src", "new_src")
+    val schema = Schema.of("old_src" -> FieldSpec(excludes = Seq("new_src")))
+    assert(rows(Validator.violations(df, schema, Seq("id"))) ===
+      Set(("old_src", "excludes", "legacy")))
+  }
+
+  test("contains: array must contain every listed value") {
+    val df = Seq(
+      (1, Seq("en", "src1", "x")), // has both -> clean
+      (2, Seq("en", "src2")),      // missing src1 -> violation
+      (3, Seq.empty[String]),      // missing both -> violation
+      (4, null.asInstanceOf[Seq[String]]) // null array -> no value rule fires
+    ).toDF("id", "tags")
+    val schema = Schema.of("tags" -> FieldSpec(contains = Some(Seq("en", "src1"))))
+    val v = Validator.violations(df, schema, Seq("id"))
+      .select("id", "rule").as[(Int, String)].collect().toSet
+    assert(v === Set((2, "contains"), (3, "contains")))
+  }
+
+  test("combinators: anyof/allof/oneof/noneof over value-only sub-specs") {
+    val df = Seq((1, 50), (2, 150), (3, 350), (4, 490), (5, 600))
+      .toDF("id", "n")
+    val schema = Schema.of("n" -> FieldSpec(
+      // anyof: in the low band OR the high band
+      anyOf = Seq(FieldSpec(max = Some(120d)), FieldSpec(min = Some(480d))),
+      // allof: both bounds (equivalent to min+max, via the combinator path)
+      allOf = Seq(FieldSpec(min = Some(100d)), FieldSpec(max = Some(500d))),
+      // oneof: OVERLAPPING bands — exactly-one fails inside the overlap
+      oneOf = Seq(
+        FieldSpec(min = Some(100d), max = Some(400d)),
+        FieldSpec(min = Some(300d), max = Some(500d))),
+      // noneof: the forbidden mid band
+      noneOf = Seq(FieldSpec(min = Some(340d), max = Some(360d)))))
+    val v = Validator.violations(df, schema, Seq("id"))
+      .select("id", "rule").as[(Int, String)].collect().toSet
+    assert(v === Set(
+      (1, "allof"), (1, "oneof"),            // 50: below both oneof bands
+      (2, "anyof"),                          // 150: outside both anyof bands
+      (3, "anyof"), (3, "oneof"), (3, "noneof"), // 350: oneof overlap (passes
+                                             // BOTH bands) + noneof mid band
+      (5, "allof"), (5, "oneof")))           // 600: above both bands
+    // 490 is clean: anyof high band passes, oneof passes band 2 only.
+  }
+
+  test("keysrules/valuesrules: every map key and value checked") {
+    val df = Seq(
+      (1, Map("lang" -> "en")),         // clean
+      (2, Map("lang" -> "EN!")),        // value fails regex
+      (3, Map("speech" -> "en")),       // key not allowed
+      (4, Map.empty[String, String])    // vacuously clean
+    ).toDF("id", "attrs")
+    val schema = Schema.of("attrs" -> FieldSpec(
+      keysRules = Some(FieldSpec(allowed = Some(Seq("lang", "source")))),
+      valuesRules = Some(FieldSpec(regex = Some("[a-z]{2,6}")))))
+    val v = Validator.violations(df, schema, Seq("id"))
+      .select("id", "rule").as[(Int, String)].collect().toSet
+    assert(v === Set((2, "valuesrules"), (3, "keysrules")))
+  }
+
+  test("combinator sub-specs must be value-only (misconfig fails at construction)") {
+    assertThrows[IllegalArgumentException] {
+      FieldSpec(anyOf = Seq(FieldSpec(required = true)))
+    }
+    assertThrows[IllegalArgumentException] {
+      FieldSpec(keysRules = Some(FieldSpec(dependencies = Map("x" -> Nil))))
+    }
+    assertThrows[IllegalArgumentException] {
+      FieldSpec(oneOf = Seq(FieldSpec(oneOf = Seq(FieldSpec()))))
+    }
+  }
+
+  test("combinator severity rides the parent ruleSeverity override") {
+    val df = Seq((1, 200)).toDF("id", "n")
+    val schema = Schema.of("n" -> FieldSpec(
+      anyOf = Seq(FieldSpec(max = Some(100d))),
+      ruleSeverity = Map("anyof" -> graft.schema.Severity.Warning)))
+    val v = Validator.violations(df, schema, Seq("id"))
+      .select("rule", "severity").as[(String, String)].collect().toSet
+    assert(v === Set(("anyof", "warning")))
+  }
 }
