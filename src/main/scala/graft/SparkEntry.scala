@@ -217,6 +217,18 @@ object SparkEntry {
       // Extended Cerberus vocabulary: contains/excludes/anyof/allof/
       // oneof/noneof/keysrules/valuesrules (round 3).
       Validator.violations(docsRules(s, dir), extSchema, Seq("doc_id"))),
+    "q_schema_check_documents" -> ((s, dir) =>
+      // Structural pre-gate (Cerberus allow_unknown analog): the raw
+      // documents frame vs a schema that tolerates `text`, declares a
+      // nested optional and a required field the table lacks, and does
+      // not declare lang/source/n_chars -> unknown.
+      Validator.schemaViolations(
+        s.read.parquet(s"$dir/documents.parquet"),
+        Schema.of(
+          "doc_id" -> FieldSpec(required = true),
+          "meta.quality" -> FieldSpec(),
+          "checksum" -> FieldSpec(required = true)),
+        allowUnknown = Set("text"))),
     "q_verdict_documents" -> ((s, dir) =>
       Verdict.compute(docs(s, dir), docSchema, "lang")),
     "q_verdict_rollup_documents" -> ((s, dir) =>
@@ -686,6 +698,14 @@ object SparkEntry {
         | 'error'
         |FROM documents
         |WHERE source IS NOT NULL AND NOT regexp_full_match(source, 'src[0-9]{1,2}')""".stripMargin,
+    // Structural pre-gate: the oracle states the expected structural
+    // truth as constants (the engine derives it from runtime metadata).
+    "q_schema_check_documents" ->
+      """SELECT 'lang' AS field, 'unknown' AS rule, 'string' AS value, 'error' AS severity
+        |UNION ALL SELECT 'source', 'unknown', 'string', 'error'
+        |UNION ALL SELECT 'n_chars', 'unknown', 'bigint', 'error'
+        |UNION ALL SELECT 'meta.quality', 'missing', CAST(NULL AS VARCHAR), 'warning'
+        |UNION ALL SELECT 'checksum', 'missing', CAST(NULL AS VARCHAR), 'error'""".stripMargin,
     "q_validate_elements_documents" -> elemViolationsSql,
     "q_verdict_documents" ->
       s"""SELECT lang, count(*) AS n_rows,

@@ -130,6 +130,25 @@ object Drift {
       hi: Double): DataFrame =
     bins(df, valueCol, groupCols, nBins, lo, hi)
 
+  /** PSI/KS of `cur` against a materialized EDGE-binned baseline
+    * sketch (the output of [[binsByEdges]] read back from storage, cf.
+    * `IndexStore.buildDriftBaseline`). Only `cur` is scanned; the
+    * sketch side is O(groups × bins). The edges must be the ones the
+    * sketch was built with — the store's meta sidecar carries them.
+    */
+  def compareWithBaselineEdges(
+      cur: DataFrame,
+      baselineSketch: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      edges: Array[Double],
+      eps: Double = 1e-6): DataFrame = {
+    val c = binsByEdges(cur, valueCol, groupCols, edges)
+      .withColumnRenamed("n", "n_cur")
+    val b = baselineSketch.withColumnRenamed("n", "n_base")
+    scoreBins(c.join(b, groupCols :+ "bin", "full_outer"), groupCols, eps)
+  }
+
   /** PSI/KS of `cur` against an already-materialized baseline sketch
     * (the output of [[sketch]], typically read back from parquet).
     * Only `cur` is scanned; the sketch side is O(groups × nBins).

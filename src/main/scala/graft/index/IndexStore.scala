@@ -37,6 +37,7 @@ object IndexStore {
   final case class LshMeta(kind: String, dim: Int, nPlanes: Int, nTables: Int, seed: Long)
   final case class IvfMeta(kind: String, dim: Int, nLists: Int, iters: Int, seed: Long)
   final case class BloomMeta(kind: String, keys: String, expectedItems: Long, fpp: Double)
+  final case class DriftMeta(kind: String, valueCol: String, groupCols: String, edges: Seq[Double])
 
   // -------------------------------------------------------------------
   // meta sidecar
@@ -348,5 +349,74 @@ object IndexStore {
     val (centroids, assignments, meta) = loadIvf(spark, path)
     Ivf.ivfTopKFromIndex(centroids, assignments, queries, idCol, vecCol,
       meta.dim, k, nProbe)
+  }
+
+  // -------------------------------------------------------------------
+  // Drift baseline sketch (north rule: "KS/PSI against a baseline
+  // sketch" — the sketch is a persisted artifact, not a per-run rescan)
+  // -------------------------------------------------------------------
+
+  /** Derive auto-binning edges from the baseline's quantiles, bin it
+    * once, and persist sketch + edges. Every later snapshot scores
+    * against O(groups × bins) stored rows — the baseline corpus is
+    * never rescanned (at 100 TB the baseline scan IS the cost).
+    */
+  def buildDriftBaseline(
+      base: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      path: String,
+      nBins: Int = 10,
+      exact: Boolean = false): Unit = {
+    val edges = graft.drift.Drift.quantileEdges(base, valueCol, nBins, exact)
+    graft.drift.Drift.binsByEdges(base, valueCol, groupCols, edges)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/data")
+    writeMeta(base.sparkSession, path,
+      DriftMeta("drift", valueCol, groupCols.mkString(","), edges.toSeq))(
+      Encoders.product[DriftMeta])
+  }
+
+  /** Stored sketch frame + build parameters (incl. the exact edges).
+    * Counts are re-summed per (group, bin) on load: appends write each
+    * slice's bins as extra rows (see [[appendDriftBaseline]]), and the
+    * aggregation is O(stored rows) — bins × groups × slices, tiny.
+    */
+  def loadDriftBaseline(spark: SparkSession, path: String): (DataFrame, DriftMeta) = {
+    val meta = readMeta[DriftMeta](spark, path, "drift")(Encoders.product[DriftMeta])
+    val groupCols = meta.groupCols.split(",").toSeq.filter(_.nonEmpty)
+    val sketchDf = spark.read.parquet(s"$path/data")
+      .groupBy((groupCols :+ "bin").map(col): _*)
+      .agg(sum(col("n")).as("n"))
+    (sketchDf, meta)
+  }
+
+  /** PSI/KS of `cur` against the STORED baseline: bins `cur` by the
+    * persisted edges and joins the O(groups × bins) sketch — one scan
+    * of the new data, zero scans of the baseline.
+    */
+  def driftAgainstBaseline(
+      cur: DataFrame,
+      path: String,
+      eps: Double = 1e-6): DataFrame = {
+    val (sketchDf, meta) = loadDriftBaseline(cur.sparkSession, path)
+    val groupCols = meta.groupCols.split(",").toSeq.filter(_.nonEmpty)
+    graft.drift.Drift.compareWithBaselineEdges(
+      cur, sketchDf, meta.valueCol, groupCols, meta.edges.toArray, eps)
+  }
+
+  /** Fold a new baseline slice into the stored sketch: bin by the
+    * STORED edges (binning never changes after build — comparability
+    * beats re-quantiling) and APPEND the slice's bin rows; the load
+    * path re-sums per (group, bin). Append-only, so a crashed append
+    * never corrupts the existing sketch.
+    */
+  def appendDriftBaseline(slice: DataFrame, path: String): Long = {
+    val meta = readMeta[DriftMeta](slice.sparkSession, path, "drift")(
+      Encoders.product[DriftMeta])
+    val groupCols = meta.groupCols.split(",").toSeq.filter(_.nonEmpty)
+    appendCounted(
+      graft.drift.Drift.binsByEdges(
+        slice, meta.valueCol, groupCols, meta.edges.toArray),
+      s"$path/data")
   }
 }

@@ -1,7 +1,7 @@
 package graft.validate
 
 import graft.compile.RuleCompiler
-import graft.schema.Schema
+import graft.schema.{Schema, Severity}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -44,6 +44,90 @@ object Validator {
   /** Rows with zero violations (the validated/clean subset). */
   def clean(df: DataFrame, schema: Schema): DataFrame =
     annotate(df, schema).where(col("n_violations") === 0).drop("n_violations")
+
+  /** Structural (table-level) schema check — the Cerberus
+    * `allow_unknown` analog plus its converse. Row-level rules cannot
+    * even compile against a frame missing a declared column (Catalyst
+    * resolution fails), so this is the pre-gate a pipeline runs before
+    * [[violations]]:
+    *
+    *   - `unknown`: a frame column no schema field declares (Cerberus
+    *     rejects unknown document keys unless allow_unknown; severity
+    *     error unless the column is listed in `allowUnknown`, then no
+    *     row at all);
+    *   - `missing`: a declared field whose path does not resolve in the
+    *     frame — error when the field is `required`, warning otherwise
+    *     (its value rules are vacuously unenforceable).
+    *
+    * Dotted field paths resolve through nested structs, mirroring the
+    * row-level compiler. Output mirrors [[violations]] minus key
+    * columns: `(field, rule, value, severity)` with `value` = the
+    * actual Spark type (unknown) or null (missing). Driver-side
+    * metadata only — no job runs.
+    */
+  def schemaViolations(
+      df: DataFrame,
+      schema: Schema,
+      allowUnknown: Set[String] = Set.empty): DataFrame = {
+    import org.apache.spark.sql.types.{StructType, DataType}
+    def resolve(t: DataType, path: List[String]): Option[DataType] =
+      (t, path) match {
+        case (dt, Nil) => Some(dt)
+        case (st: StructType, head :: rest) =>
+          st.fields.find(_.name == head).flatMap(f => resolve(f.dataType, rest))
+        case _ => None
+      }
+    val declaredRoots = schema.fieldNames.map(_.split('.').head).toSet
+    val unknown = df.schema.fields.toSeq
+      .filter(f => !declaredRoots.contains(f.name) && !allowUnknown.contains(f.name))
+      .map(f => (f.name, "unknown", f.dataType.simpleString, Severity.Error))
+    val missing = schema.fields
+      .filter { case (name, _) =>
+        resolve(df.schema, name.split('.').toList).isEmpty
+      }
+      .map { case (name, spec) =>
+        (name, "missing", null.asInstanceOf[String],
+          if (spec.required) Severity.Error else Severity.Warning)
+      }
+    val spark = df.sparkSession
+    import spark.implicits._
+    (unknown ++ missing).toDF("field", "rule", "value", "severity")
+  }
+
+  /** ONE-pass quarantine routing: annotate with the error count and
+    * write clean and quarantined rows as sibling partitions of one
+    * table (`.../__quarantined=false|true/`). The corpus is scanned
+    * and validated exactly once — the naive clean/bad split runs the
+    * whole rule projection twice; at 100 TB the second scan is the
+    * difference. Warnings do NOT quarantine (severity semantics,
+    * E3). Downstream readers partition-prune:
+    * `spark.read.parquet(path).where(col("__quarantined") === "false")`
+    * never touches quarantined files (partition values read back as
+    * STRINGS — Spark's partition-type inference covers numerics/dates,
+    * not booleans).
+    *
+    * Returns (nClean, nQuarantined) counted from the written table —
+    * parquet metadata counts, no data re-scan.
+    */
+  def writeQuarantined(
+      df: DataFrame,
+      schema: Schema,
+      path: String): (Long, Long) = {
+    df.withColumn("__n_errors", RuleCompiler.errorCount(schema))
+      .withColumn("__quarantined", col("__n_errors") > 0)
+      .drop("__n_errors")
+      .write
+      .mode("overwrite")
+      .partitionBy("__quarantined")
+      .parquet(path)
+    val counts = df.sparkSession.read.parquet(path)
+      .groupBy(col("__quarantined").cast("boolean"))
+      .count()
+      .collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1))
+      .toMap
+    (counts.getOrElse(false, 0L), counts.getOrElse(true, 0L))
+  }
 
   /** Per-ELEMENT validation of an `array<struct>` column — the Cerberus
     * `schema`-on-list rule (validate every element of the list against

@@ -187,4 +187,44 @@ class IndexStoreSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("'minhash'"))
   }
+
+  test("drift baseline: stored sketch scores == direct compare; baseline never rescanned") {
+    val path = tmpDir("drift")
+    val base = docs.where(col("doc_id") % 2 === 0)
+    val cur = docs.where(col("doc_id") % 2 === 1)
+    IndexStore.buildDriftBaseline(base, "n_chars", Seq("lang"), path,
+      nBins = 8, exact = true)
+
+    val (_, meta) = IndexStore.loadDriftBaseline(spark, path)
+    assert(meta.valueCol === "n_chars" && meta.edges.length === 7)
+    val stored = IndexStore.driftAgainstBaseline(cur, path)
+      .as[(String, Long, Long, Double, Double)].collect().toSet
+    val direct = graft.drift.Drift.compareWithEdges(cur, base, "n_chars",
+        Seq("lang"), meta.edges.toArray)
+      .as[(String, Long, Long, Double, Double)].collect().toSet
+    assert(stored === direct && stored.nonEmpty)
+  }
+
+  test("drift baseline append: build-half + append-half == build-full (same edges)") {
+    val parts = tmpDir("drift-p")
+    val a = docs.where(col("doc_id") % 3 === 0)
+    val b = docs.where(col("doc_id") % 3 =!= 0)
+    val cur = docs.where(col("doc_id") % 5 === 0)
+
+    IndexStore.buildDriftBaseline(a, "n_chars", Seq("lang"), parts,
+      nBins = 6, exact = true)
+    val n = IndexStore.appendDriftBaseline(b, parts)
+    assert(n > 0)
+    // Whole-build sketch with the SAME edges (append keeps build edges,
+    // so force them by sketching a union against the stored edges).
+    val (_, meta) = IndexStore.loadDriftBaseline(spark, parts)
+    val storedScores = IndexStore.driftAgainstBaseline(cur, parts)
+      .as[(String, Long, Long, Double, Double)].collect().toSet
+    val directScores = graft.drift.Drift.compareWithBaselineEdges(cur,
+        graft.drift.Drift.binsByEdges(a.unionByName(b), "n_chars",
+          Seq("lang"), meta.edges.toArray),
+        "n_chars", Seq("lang"), meta.edges.toArray)
+      .as[(String, Long, Long, Double, Double)].collect().toSet
+    assert(storedScores === directScores && storedScores.nonEmpty)
+  }
 }

@@ -337,6 +337,61 @@ class ValidatorSpec extends SparkSpec {
     }
   }
 
+  test("one-pass quarantine: errors route out, warnings stay, readers prune") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-quarantine").toString
+    val df = Seq(
+      (1, "good name"),
+      (2, "x"),   // minlength warning only -> stays clean
+      (3, null)   // required error -> quarantined
+    ).toDF("id", "name")
+    val schema = Schema.of("name" -> FieldSpec(
+      required = true, minLength = Some(3),
+      ruleSeverity = Map("minlength" -> graft.schema.Severity.Warning)))
+    val (nClean, nBad) = Validator.writeQuarantined(df, schema, dir)
+    assert((nClean, nBad) === (2L, 1L))
+    // partition values read back as strings (no boolean inference)
+    val back = spark.read.parquet(dir)
+    assert(back.where(col("__quarantined") === "false").select("id")
+      .as[Int].collect().toSet === Set(1, 2))
+    assert(back.where(col("__quarantined") === "true").select("id")
+      .as[Int].collect().toSet === Set(3))
+    // both sides keep the full payload schema
+    assert(back.columns.toSet === Set("id", "name", "__quarantined"))
+  }
+
+  test("schema pre-gate: unknown and missing columns (allow_unknown analog)") {
+    val df = Seq((1, "a", 2.0)).toDF("id", "name", "extra")
+    val schema = Schema.of(
+      "name" -> FieldSpec(required = true),
+      "meta.tag" -> FieldSpec(),          // nested path, absent -> warning
+      "gone" -> FieldSpec(required = true)) // absent + required -> error
+    val v = Validator.schemaViolations(df, schema, allowUnknown = Set("id"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(v === Set(
+      ("extra", "unknown", "double", "error"),
+      ("meta.tag", "missing", null, "warning"),
+      ("gone", "missing", null, "error")))
+    // a frame matching the schema is structurally clean
+    val ok = Seq(("a", 1)).toDF("name", "gone")
+      .withColumn("meta", struct(lit("t").as("tag")))
+    assert(Validator.schemaViolations(ok, schema).isEmpty)
+  }
+
+  test("schema pre-gate resolves dotted paths through nested structs") {
+    val df = Seq((1, "x")).toDF("id", "v")
+      .withColumn("meta", struct(struct(lit(3L).as("n")).as("inner")))
+      .drop("v")
+    val schema = Schema.of(
+      "id" -> FieldSpec(),
+      "meta.inner.n" -> FieldSpec(),
+      "meta.inner.absent" -> FieldSpec())
+    val v = Validator.schemaViolations(df, schema)
+      .select("field", "rule").as[(String, String)].collect().toSet
+    assert(v === Set(("meta.inner.absent", "missing")))
+  }
+
   test("combinator severity rides the parent ruleSeverity override") {
     val df = Seq((1, 200)).toDF("id", "n")
     val schema = Schema.of("n" -> FieldSpec(
