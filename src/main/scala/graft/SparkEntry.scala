@@ -443,6 +443,28 @@ object SparkEntry {
       graft.sample.Sampling.reservoirPerGroup(docs(s, dir), "doc_id", "lang", k = 7)
         .select(col("lang"), col("doc_id"))),
 
+    "q_temperature_documents" -> ((s, dir) =>
+      // UniMax-style mixture rebalancing: per-lang keep rates
+      // r_g = (n_min/n_g)^(1-alpha) derived from the group counts, then
+      // the same pure (key, seed) filter as q_sample — the oracle
+      // re-derives the rates, thresholds, and exact row set.
+      graft.sample.Sampling.temperatureSample(
+          docs(s, dir), "doc_id", "lang", alpha = 0.5)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))),
+
+    "q_budget_documents" -> ((s, dir) => {
+      // Quality-ranked trim to a global token budget: keep the maximal
+      // quality-descending prefix whose token sum fits. Computed via
+      // the binned-cutoff plan (no global sort — only the boundary
+      // score bin pays an ordered scan); the oracle replays the
+      // global-prefix SEMANTICS directly with a window cumsum.
+      val scored = TextAnalysis.qualityFeatures(docs(s, dir), "text")
+        .withColumn("quality_r", round(col("quality"), 6))
+      graft.sample.Sampling.selectByTokenBudget(
+          scored, "doc_id", "n_tokens", "quality_r", budget = 20000L)
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // --- training-data pipeline: deduplication -------------------------
     "q_dedup_exact_documents" -> ((s, dir) =>
       Dedup.exactSummary(docs(s, dir), "text")),
@@ -1195,6 +1217,44 @@ object SparkEntry {
         |   doc_id) AS rk
         | FROM documents)
         |WHERE rk <= 7""".stripMargin,
+
+    "q_temperature_documents" ->
+      """WITH counts AS (SELECT lang, count(*) AS n FROM documents
+        |               WHERE lang IS NOT NULL GROUP BY 1),
+        |thr AS (SELECT lang,
+        |  round(pow(CAST((SELECT min(n) FROM counts) AS DOUBLE) / n, 0.5)
+        |        * 1000000) AS t
+        | FROM counts)
+        |SELECT d.lang, count(*) AS n_kept
+        |FROM documents d JOIN thr USING (lang)
+        |WHERE CAST('0x' || substring(md5(coalesce(CAST(d.doc_id AS VARCHAR), '__NULL_KEY__') || ':42'), 1, 8) AS UBIGINT) % 1000000 < t
+        |GROUP BY d.lang""".stripMargin,
+
+    "q_budget_documents" ->
+      """WITH f AS (
+        | SELECT doc_id,
+        |  length(text) AS n_chars_txt,
+        |  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+        |  CASE WHEN text IS NULL THEN NULL
+        |   WHEN length(trim(text)) = 0 THEN 0
+        |   ELSE len(regexp_extract_all(trim(text), '\S+')) END AS n_tokens,
+        |  len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for|it|with|a)\b')) AS n_stop
+        | FROM documents),
+        |r AS (
+        | SELECT doc_id, n_tokens,
+        |  round(0.4 * (CASE WHEN n_chars_txt > 0 THEN n_alpha / CAST(n_chars_txt AS DOUBLE) ELSE 0 END)
+        |   + 0.3 * least(1.0, (CASE WHEN n_tokens > 0 THEN n_stop / CAST(n_tokens AS DOUBLE) ELSE 0 END) * 4)
+        |   + 0.3 * least(1.0, n_tokens / 50.0), 6) AS quality_r
+        | FROM f),
+        |sel AS (
+        | SELECT r.doc_id,
+        |  sum(r.n_tokens) OVER (ORDER BY r.quality_r DESC,
+        |   CAST('0x' || substring(md5(coalesce(CAST(r.doc_id AS VARCHAR), '__NULL_KEY__') || ':42'), 1, 8) AS UBIGINT) % 1000000,
+        |   r.doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM r
+        | WHERE r.quality_r IS NOT NULL AND r.n_tokens IS NOT NULL)
+        |SELECT s.doc_id, d.lang FROM sel s JOIN documents d USING (doc_id)
+        |WHERE s.cum <= 20000""".stripMargin,
 
     // --- deduplication -------------------------------------------------
     "q_dedup_exact_documents" ->

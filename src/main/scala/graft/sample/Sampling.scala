@@ -93,6 +93,126 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Temperature-based mixture rebalancing (the UniMax/mC4-style
+    * language-balancing rule): per-group keep rates
+    * `r_g = (n_min / n_g)^(1-alpha)`, so expected sampled counts are
+    * proportional to `n_g^alpha`. `alpha = 1` keeps everything (no-op);
+    * `alpha = 0` flattens to uniform (every group expected at the
+    * smallest group's size). No group is ever upsampled — the smallest
+    * group's rate is exactly 1 — so the sample stays a subset and the
+    * selection stays a pure (key, seed) function.
+    *
+    * Scale: the rate derivation aggregates O(groups) counts to the
+    * driver (bounded, same class as the IVF centroid collect); the
+    * selection itself is [[stratified]]'s codegen'd filter — the corpus
+    * is scanned twice but never shuffled. Rows whose group is NULL are
+    * kept (rate 1.0) — they are not a stratum to rebalance.
+    */
+  def temperatureRates(
+      df: DataFrame,
+      groupCol: String,
+      alpha: Double): Map[String, Double] = {
+    require(alpha >= 0d && alpha <= 1d, s"alpha must be in [0,1], got $alpha")
+    val counts = df.where(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string"))
+      .count()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    if (counts.isEmpty) Map.empty
+    else {
+      val nMin = counts.map(_._2).min.toDouble
+      counts.map { case (g, n) =>
+        g -> math.pow(nMin / n, 1d - alpha)
+      }.toMap
+    }
+  }
+
+  /** [[temperatureRates]] applied: downsample over-represented groups
+    * to the `n^alpha` mixture. Deterministic end-to-end — the rates are
+    * a pure function of the group counts and the keep/drop decision a
+    * pure function of (key, seed), so the oracle re-derives the
+    * identical row set from the same table.
+    */
+  def temperatureSample(
+      df: DataFrame,
+      keyCol: String,
+      groupCol: String,
+      alpha: Double,
+      seed: Long = 42L): DataFrame =
+    stratified(df, keyCol, groupCol, temperatureRates(df, groupCol, alpha),
+      defaultRate = 1.0, seed = seed)
+
+  /** Quality-ranked corpus trimming to a global token budget: order
+    * rows by (`scoreCol` DESC, md5 bucket, key) and keep the maximal
+    * prefix whose cumulative `weightCol` stays ≤ `budget` — "take the
+    * best N tokens", the standard final cut of a curation pipeline.
+    *
+    * A naive implementation is a GLOBAL sort + running sum — a total
+    * order over the corpus, the one thing a 100 TB job must not do.
+    * This one finds the score cutoff with a histogram instead:
+    *   1. one agg for the score range, one hash-agg for per-bin token
+    *      sums (O(nBins) rows to the driver — bounded);
+    *   2. the driver walks bins best-first to find the boundary bin:
+    *      every bin above it fits the budget entirely (kept with a
+    *      plain filter — no sort), every bin below is cut;
+    *   3. ONLY the boundary bin — expected corpus/nBins of the rows —
+    *      pays the ordered prefix scan (single-partition window; its
+    *      size is the documented cost knob: raise `nBins` to shrink
+    *      it; degenerate all-equal-scores input puts everything in one
+    *      bin, where the global sort is genuinely irreducible).
+    *
+    * Rows with NULL score or weight are never selected; weights must be
+    * non-negative (token counts) — the prefix rule is meaningless
+    * otherwise. Deterministic: identical selection at any parallelism,
+    * rerun, or engine (the oracle replays the global-prefix semantics
+    * directly with a window cumsum).
+    */
+  def selectByTokenBudget(
+      df: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      scoreCol: String,
+      budget: Long,
+      nBins: Int = 1000,
+      seed: Long = 42L): DataFrame = {
+    require(budget >= 0L, s"budget must be non-negative, got $budget")
+    require(nBins >= 1, s"nBins must be positive, got $nBins")
+    val s0 = col(scoreCol).cast("double")
+    val w = col(weightCol).cast("long")
+    val eligible = df.where(s0.isNotNull && w.isNotNull)
+    val range = eligible.agg(min(s0), max(s0)).first()
+    if (range.isNullAt(0)) return eligible // empty input
+    val (lo, hi) = (range.getDouble(0), range.getDouble(1))
+    val binCol =
+      if (hi == lo) lit(0)
+      else least(floor((s0 - lit(lo)) / lit((hi - lo) / nBins)).cast("int"),
+        lit(nBins - 1))
+
+    val perBin = eligible.groupBy(binCol.as("__bin"))
+      .agg(sum(w).as("__w"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .sortBy(-_._1)
+    var cumAbove = 0L
+    var boundary = Int.MinValue // sentinel: every bin fits
+    perBin.foreach { case (bin, s) =>
+      if (boundary == Int.MinValue) {
+        if (cumAbove + s > budget) boundary = bin else cumAbove += s
+      }
+    }
+    if (boundary == Int.MinValue) return eligible
+
+    val wnd = org.apache.spark.sql.expressions.Window
+      .orderBy(s0.desc, bucket(col(keyCol), seed), col(keyCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val boundaryRows = eligible.where(binCol === boundary)
+      .withColumn("__cum", sum(w).over(wnd))
+      .where(lit(cumAbove) + col("__cum") <= budget)
+      .drop("__cum")
+    eligible.where(binCol > boundary).unionByName(boundaryRows)
+  }
+
   /** The stratified keep/drop DECISION as a boolean column — reusable
     * as a flag inside one-pass multi-stage aggregations (e.g. the
     * pipeline funnel), not just as a filter.

@@ -275,4 +275,38 @@ object StreamingValidator {
         ()
       }
       .start()
+
+  /** Live drift monitoring: score each micro-batch against the STORED
+    * baseline sketch ([[graft.index.IndexStore.buildDriftBaseline]])
+    * and land `(…groups, n_cur, n_base, psi, ks, batch_id)` rows in a
+    * metrics table — the streaming mirror of the north rule's
+    * KS/PSI-against-baseline check. Per batch only the batch is
+    * scanned (the baseline side is O(groups × bins) stored rows), and
+    * replay is idempotent: metrics partition by `batch_id` with
+    * dynamic overwrite, so a recovered batch rewrites its own
+    * partition instead of duplicating rows (same pattern as
+    * `verdictSink`).
+    */
+  def driftSink(
+      stream: DataFrame,
+      baselinePath: String,
+      metricsPath: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("500 milliseconds")
+  ): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.index.IndexStore.driftAgainstBaseline(batch, baselinePath)
+          .withColumn("batch_id", lit(batchId))
+          .write
+          .mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(metricsPath)
+        ()
+      }
+      .start()
 }

@@ -79,4 +79,99 @@ class SamplingSpec extends SparkSpec {
     val b = repart.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(a === b)
   }
+
+  test("temperatureRates: closed form, alpha endpoints, no upsampling") {
+    val full = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = full.values.min.toDouble
+
+    // alpha = 1 → every rate exactly 1 (no-op)
+    assert(Sampling.temperatureRates(docs, "lang", 1.0).values.forall(_ == 1.0))
+    // alpha = 0 → r_g = n_min / n_g (uniform target)
+    val r0 = Sampling.temperatureRates(docs, "lang", 0.0)
+    full.foreach { case (g, n) => assert(math.abs(r0(g) - nMin / n) < 1e-12) }
+    // general alpha: closed form, smallest group exactly 1, all ≤ 1
+    val r = Sampling.temperatureRates(docs, "lang", 0.5)
+    full.foreach { case (g, n) =>
+      assert(math.abs(r(g) - math.pow(nMin / n, 0.5)) < 1e-12)
+    }
+    assert(r(full.minBy(_._2)._1) === 1.0)
+    assert(r.values.forall(_ <= 1.0))
+    assertThrows[IllegalArgumentException] {
+      Sampling.temperatureRates(docs, "lang", 1.5)
+    }
+  }
+
+  test("temperatureSample: smallest group fully kept; deterministic; expected mixture") {
+    val full = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = Sampling.temperatureSample(docs, "doc_id", "lang", alpha = 0.0)
+    val kept = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minGroup = full.minBy(_._2)._1
+    assert(kept(minGroup) === full(minGroup)) // rate 1 → all rows survive
+    // every group's kept count near the uniform target n_min
+    val nMin = full.values.min.toDouble
+    kept.foreach { case (_, n) =>
+      assert(math.abs(n - nMin) < 4 * math.sqrt(nMin) + 1)
+    }
+    // parallelism-invariant (pure (key, seed) decision)
+    val a = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.temperatureSample(
+        docs.repartition(11), "doc_id", "lang", alpha = 0.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+  }
+
+  test("selectByTokenBudget: equals the global-prefix reference; nBins-invariant") {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs.withColumn("score", (col("doc_id") % 97).cast("double"))
+    val budget = 50000L
+
+    // reference: naive global sort + running sum (the semantics)
+    val wnd = Window
+      .orderBy(col("score").desc, Sampling.bucket(col("doc_id"), 42L), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expect = scored
+      .withColumn("cum", sum(col("n_chars").cast("long")).over(wnd))
+      .where(col("cum") <= budget)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(expect.nonEmpty && expect.size < docs.count())
+
+    val got = Sampling.selectByTokenBudget(
+        scored, "doc_id", "n_chars", "score", budget)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === expect)
+
+    // bin count must not change the selection (incl. the degenerate
+    // nBins=1 case where everything is boundary)
+    Seq(1, 7, 5000).foreach { bins =>
+      val alt = Sampling.selectByTokenBudget(
+          scored, "doc_id", "n_chars", "score", budget, nBins = bins)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(alt === expect, s"nBins=$bins")
+    }
+    // parallelism-invariant
+    val rep = Sampling.selectByTokenBudget(
+        scored.repartition(13), "doc_id", "n_chars", "score", budget)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rep === expect)
+  }
+
+  test("selectByTokenBudget: edge cases — zero budget, all-fits, null score/weight") {
+    val scored = docs.withColumn("score", col("n_chars").cast("double"))
+    assert(Sampling.selectByTokenBudget(
+      scored, "doc_id", "n_chars", "score", budget = 0L).count() === 0)
+    val total = scored.agg(sum(col("n_chars").cast("long"))).first().getLong(0)
+    assert(Sampling.selectByTokenBudget(
+      scored, "doc_id", "n_chars", "score", budget = total).count() ===
+      scored.count())
+    // null score rows are never selected
+    val withNulls = scored.withColumn("score",
+      when(col("doc_id") % 2 === 0, col("score")))
+    val sel = Sampling.selectByTokenBudget(
+      withNulls, "doc_id", "n_chars", "score", budget = total)
+    assert(sel.where(col("doc_id") % 2 =!= 0).count() === 0)
+    assert(sel.count() === withNulls.where(col("doc_id") % 2 === 0).count())
+  }
 }

@@ -273,4 +273,37 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() === batchRollup.count())
     assert(got.exceptAll(batchRollup).isEmpty)
   }
+
+  test("drift sink: micro-batch PSI/KS vs the stored baseline; replay idempotent") {
+    val src = Files.createTempDirectory("graft-stream-drift-src").toString
+    val basePath = Files.createTempDirectory("graft-stream-drift-base").toString
+    val metrics = Files.createTempDirectory("graft-stream-drift-out").toString + "/m"
+    val events = spark.read.parquet(sf("sf0.001") + "/events.parquet")
+    val base = events.where(col("event_id") % 2 === 0)
+    val cur = events.where(col("event_id") % 2 === 1)
+    graft.index.IndexStore.buildDriftBaseline(
+      base, "value", Seq("event_type"), basePath, nBins = 8, exact = true)
+    cur.write.mode("overwrite").parquet(src)
+
+    val stream = spark.readStream.schema(cur.schema).parquet(src)
+    val q = StreamingValidator.driftSink(stream, basePath, metrics,
+      Files.createTempDirectory("graft-stream-drift-ck1").toString,
+      trigger = Trigger.AvailableNow())
+    q.awaitTermination(60000)
+
+    val direct = graft.index.IndexStore.driftAgainstBaseline(cur, basePath)
+    val written = spark.read.parquet(metrics).drop("batch_id")
+    assert(written.count() > 0)
+    assert(written.exceptAll(direct).isEmpty && direct.exceptAll(written).isEmpty)
+
+    // Replay the whole source (fresh checkpoint): each batch rewrites
+    // its own batch_id partition via dynamic overwrite, so the metrics
+    // table is unchanged — no duplicated rows.
+    val q2 = StreamingValidator.driftSink(stream, basePath, metrics,
+      Files.createTempDirectory("graft-stream-drift-ck2").toString,
+      trigger = Trigger.AvailableNow())
+    q2.awaitTermination(60000)
+    val replayed = spark.read.parquet(metrics).drop("batch_id")
+    assert(replayed.exceptAll(direct).isEmpty && direct.exceptAll(replayed).isEmpty)
+  }
 }
