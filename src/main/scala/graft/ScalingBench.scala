@@ -124,16 +124,58 @@ object ScalingBench {
       (times.min, times, check)
     }
 
-    val (tN, samplesN, checkN) = measure(n)
-    val (t4N, samples4N, check4N) = measure(4 * n)
-    require(checkN == check4N,
-      s"results differ across parallelism levels: $checkN vs $check4N")
+    // One timed sample in its own session (local mode allows only one
+    // SparkContext per JVM, so levels cannot run concurrently). The JIT
+    // and Janino codegen caches are JVM-wide and survive session
+    // restarts, so after the one-time per-level warm-up below a fresh
+    // session pays only lazy-init noise (~1 s) — charged to BOTH levels
+    // equally (and relatively more to the faster one, i.e. the
+    // conservative direction for efficiency).
+    def sampleOnce(cores: Int): (Double, (Long, Long, Long, Long)) = {
+      val s = session(cores)
+      val t0 = System.nanoTime()
+      val c = graft.util.CacheScope.withScope(sc => pipeline(s, input, dimP, job, sc))
+      val t = (System.nanoTime() - t0) / 1e9
+      s.stop()
+      (t, c)
+    }
 
+    val mode = args.lift(4).getOrElse("block")
+    val (samplesN, samples4N, checkN) =
+      if (mode == "interleaved") {
+        // Alternate N / 4N samples so this host's multi-minute external
+        // load waves hit both levels symmetrically, instead of poisoning
+        // one level's whole measurement block (the failure mode of the
+        // default block mode under contention — see BASELINE.md).
+        val warm = sampleOnce(n)._2 // JIT + codegen warm-up, untimed level-wise
+        sampleOnce(4 * n)
+        val pairs = (1 to runs).map { _ =>
+          val (a, ca) = sampleOnce(n)
+          val (b, cb) = sampleOnce(4 * n)
+          require(ca == warm && cb == warm,
+            s"result drift across interleaved samples: $ca / $cb vs $warm")
+          (a, b)
+        }
+        (pairs.map(_._1), pairs.map(_._2), warm)
+      } else {
+        val (_, sN, cN) = measure(n)
+        val (_, s4N, c4N) = measure(4 * n)
+        require(cN == c4N,
+          s"results differ across parallelism levels: $cN vs $c4N")
+        (sN, s4N, cN)
+      }
+
+    val tN = samplesN.min
+    val t4N = samples4N.min
     val thrN = rows / tN
     val thr4N = rows / t4N
     val eff = (thr4N / thrN) / 4.0
     def arr(xs: Seq[Double]) = xs.map(t => f"$t%.3f").mkString("[", ",", "]")
+    val pairEffs =
+      if (mode == "interleaved")
+        s""","pair_efficiencies":${arr(samplesN.zip(samples4N).map { case (a, b) => a / (4 * b) })}"""
+      else ""
     println(
-      f"""{"metric":"scaling","job":"$job","rows":$rows,"cores_n":$n,"cores_4n":${4 * n},"min_sec_n":$tN%.3f,"min_sec_4n":$t4N%.3f,"samples_n":${arr(samplesN)},"samples_4n":${arr(samples4N)},"rows_per_sec_n":${thrN.toLong},"rows_per_sec_4n":${thr4N.toLong},"efficiency":$eff%.3f,"pass":${eff >= 0.8},"checksum":"${checkN.toString.replace("\"", "")}"}""")
+      f"""{"metric":"scaling","job":"$job","mode":"$mode","rows":$rows,"cores_n":$n,"cores_4n":${4 * n},"min_sec_n":$tN%.3f,"min_sec_4n":$t4N%.3f,"samples_n":${arr(samplesN)},"samples_4n":${arr(samples4N)}$pairEffs,"rows_per_sec_n":${thrN.toLong},"rows_per_sec_4n":${thr4N.toLong},"efficiency":$eff%.3f,"pass":${eff >= 0.8},"checksum":"${checkN.toString.replace("\"", "")}"}""")
   }
 }

@@ -443,6 +443,15 @@ object SparkEntry {
       graft.sample.Sampling.reservoirPerGroup(docs(s, dir), "doc_id", "lang", k = 7)
         .select(col("lang"), col("doc_id"))),
 
+    "q_profile_documents" -> ((s, dir) =>
+      // Schema inference step 1: one-pass per-field corpus profile
+      // (null rate, cardinality, numeric parse rate, value/length
+      // bounds) — the stats rule induction derives the strictest
+      // consistent schema from. exact=true for oracle parity; the
+      // 100 TB default is the HLL sketch (no Expand).
+      graft.schema.Induction.profile(docs(s, dir),
+        Seq("doc_id", "text", "lang", "source", "n_chars"), exact = true)),
+
     "q_temperature_documents" -> ((s, dir) =>
       // UniMax-style mixture rebalancing: per-lang keep rates
       // r_g = (n_min/n_g)^(1-alpha) derived from the group counts, then
@@ -1217,6 +1226,23 @@ object SparkEntry {
         |   doc_id) AS rk
         | FROM documents)
         |WHERE rk <= 7""".stripMargin,
+
+    "q_profile_documents" -> Seq("doc_id", "text", "lang", "source", "n_chars")
+      .map { f =>
+        s"""SELECT '$f' AS field,
+           | count(*) AS n_rows,
+           | CAST(count(*) - count($f) AS BIGINT) AS n_null,
+           | (count(*) - count($f)) / CAST(count(*) AS DOUBLE) AS null_frac,
+           | count(DISTINCT $f) AS n_distinct,
+           | CASE WHEN count($f) > 0
+           |  THEN count(TRY_CAST($f AS DOUBLE)) / CAST(count($f) AS DOUBLE)
+           | END AS numeric_frac,
+           | min(TRY_CAST($f AS DOUBLE)) AS min_num,
+           | max(TRY_CAST($f AS DOUBLE)) AS max_num,
+           | CAST(min(length(CAST($f AS VARCHAR))) AS BIGINT) AS min_len,
+           | CAST(max(length(CAST($f AS VARCHAR))) AS BIGINT) AS max_len
+           |FROM documents""".stripMargin
+      }.mkString("\nUNION ALL\n"),
 
     "q_temperature_documents" ->
       """WITH counts AS (SELECT lang, count(*) AS n FROM documents

@@ -1,0 +1,134 @@
+package graft.schema
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, DoubleType, NumericType, StringType}
+
+/** Schema inference (rule induction): profile a corpus once and derive
+  * the strictest Cerberus [[Schema]] consistent with it — the bootstrap
+  * step of a validation pipeline (profile a known-good snapshot, then
+  * validate every later snapshot against the induced rules; drift
+  * surfaces as violations instead of silent decay).
+  *
+  * Semantics grounding: the reference derives its record constraints
+  * from observed data shape too — the fixed serde schema IS the strict
+  * contract every later document must match (reference
+  * rust/src/lib.rs:81-83); induction generalizes that to rule level.
+  *
+  * Scale design: [[profile]] is ONE global aggregation over the corpus
+  * (partial + final, no row shuffle; the only caveat is `exact = true`,
+  * whose multi-column count-distinct plans an Expand — ×fields row
+  * amplification — so the 100 TB path is the default HLL sketch, same
+  * exact/approx split as `ColumnStats.quantiles`). [[suggestSchema]]
+  * collects O(fields) profile rows plus, per low-cardinality field, at
+  * most `maxAllowed + 1` distinct values — all driver-side data is
+  * bounded by configuration, never by corpus size.
+  */
+object Induction {
+
+  /** Per-field corpus profile, one row per field:
+    * `(field, n_rows, n_null, null_frac, n_distinct, numeric_frac,
+    * min_num, max_num, min_len, max_len)`. `numeric_frac` is the share
+    * of NON-NULL values parseable as double (`try_cast` — ANSI-safe);
+    * length stats are over the string rendering, so they are defined
+    * for every column type.
+    */
+  def profile(
+      df: DataFrame,
+      fields: Seq[String],
+      exact: Boolean = false): DataFrame = {
+    require(fields.nonEmpty, "profile needs at least one field")
+    val aggs = count(lit(1)).as("__n") +: fields.flatMap { f =>
+      val c = col(f)
+      val num = c.try_cast(DoubleType)
+      Seq(
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"__${f}__n_null"),
+        (if (exact) countDistinct(c) else approx_count_distinct(c))
+          .as(s"__${f}__n_distinct"),
+        count(num).as(s"__${f}__n_numeric"),
+        min(num).as(s"__${f}__min_num"),
+        max(num).as(s"__${f}__max_num"),
+        min(length(c.cast(StringType))).cast("long").as(s"__${f}__min_len"),
+        max(length(c.cast(StringType))).cast("long").as(s"__${f}__max_len"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val rows = fields.map { f =>
+      val nonNull = col("__n") - col(s"__${f}__n_null")
+      struct(
+        lit(f).as("field"),
+        col("__n").as("n_rows"),
+        col(s"__${f}__n_null").as("n_null"),
+        when(col("__n") > 0,
+          col(s"__${f}__n_null").cast("double") / col("__n"))
+          .as("null_frac"),
+        col(s"__${f}__n_distinct").as("n_distinct"),
+        when(nonNull > 0,
+          col(s"__${f}__n_numeric").cast("double") / nonNull)
+          .as("numeric_frac"),
+        col(s"__${f}__min_num").as("min_num"),
+        col(s"__${f}__max_num").as("max_num"),
+        col(s"__${f}__min_len").as("min_len"),
+        col(s"__${f}__max_len").as("max_len"))
+    }
+    wide.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+
+  /** The strictest [[Schema]] the profiled corpus satisfies:
+    *   - never-null field → `required` + `nullable = false`; observed
+    *     nulls → optional and nullable (nulls are evidently legal);
+    *   - numeric field (frame-typed numeric, or a string column whose
+    *     every non-null value parses) → observed `[min, max]` bounds,
+    *     plus a `type` rule for the parseable-string case;
+    *   - string field → observed length bounds, and when its exact
+    *     cardinality is ≤ `maxAllowed`, the observed `allowed` set.
+    *
+    * By construction `Validator.violations(df, suggestSchema(df, …))`
+    * is empty — the induced rules fire only on rows OUTSIDE the
+    * profiled distribution (pinned in InductionSpec).
+    *
+    * Cardinality uses `exact = true` (an `allowed` set must not depend
+    * on sketch error); pass a sampled frame at 100 TB if the Expand
+    * cost matters — rule induction is a bootstrap step, not a per-run
+    * one.
+    */
+  def suggestSchema(
+      df: DataFrame,
+      fields: Seq[String],
+      maxAllowed: Int = 20): Schema = {
+    val prof = profile(df, fields, exact = true).collect()
+      .map(r => r.getAs[String]("field") -> r).toMap
+    val specs = fields.map { f =>
+      val p = prof(f)
+      val nNull = p.getAs[Long]("n_null")
+      val hasNonNull = p.getAs[Long]("n_rows") > nNull
+      val frameNumeric =
+        df.schema(f).dataType.isInstanceOf[NumericType]
+      val parsesNumeric = hasNonNull &&
+        Option(p.getAs[java.lang.Double]("numeric_frac")).exists(_ == 1.0)
+      val isString = df.schema(f).dataType == StringType
+      val base = FieldSpec(
+        required = nNull == 0L,
+        nullable = nNull > 0L)
+      val spec =
+        if (frameNumeric || parsesNumeric)
+          base.copy(
+            dtype = if (frameNumeric) None else Some(DoubleType: DataType),
+            min = Option(p.getAs[java.lang.Double]("min_num")).map(_.toDouble),
+            max = Option(p.getAs[java.lang.Double]("max_num")).map(_.toDouble))
+        else if (isString && hasNonNull) {
+          val allowed =
+            if (p.getAs[Long]("n_distinct") <= maxAllowed)
+              Some(df.select(col(f)).where(col(f).isNotNull)
+                .distinct().limit(maxAllowed + 1)
+                .collect().map(_.getString(0)).toSeq.sorted)
+            else None
+          base.copy(
+            allowed = allowed,
+            minLength = Option(p.getAs[java.lang.Long]("min_len")).map(_.toInt),
+            maxLength = Option(p.getAs[java.lang.Long]("max_len")).map(_.toInt))
+        } else base
+      f -> spec
+    }
+    Schema.of(specs: _*)
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import graft.schema.Induction
+import graft.validate.Validator
+import org.apache.spark.sql.functions._
+
+class InductionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+  private val docFields = Seq("doc_id", "text", "lang", "source", "n_chars")
+
+  test("profile: per-field stats match directly computed values") {
+    val df = Seq(
+      (1L, "en", "12.5"),
+      (2L, "en", "7"),
+      (3L, null.asInstanceOf[String], "oops"),
+      (4L, "zh", null.asInstanceOf[String])
+    ).toDF("id", "lang", "score")
+    val p = Induction.profile(df, Seq("id", "lang", "score"), exact = true)
+      .collect().map(r => r.getAs[String]("field") -> r).toMap
+
+    assert(p("id").getAs[Long]("n_rows") === 4L)
+    assert(p("id").getAs[Long]("n_null") === 0L)
+    assert(p("id").getAs[Long]("n_distinct") === 4L)
+    assert(p("id").getAs[Double]("numeric_frac") === 1.0)
+    assert(p("id").getAs[Double]("min_num") === 1.0)
+    assert(p("id").getAs[Double]("max_num") === 4.0)
+    assert(p("id").getAs[Long]("min_len") === 1L)
+
+    assert(p("lang").getAs[Long]("n_null") === 1L)
+    assert(p("lang").getAs[Double]("null_frac") === 0.25)
+    assert(p("lang").getAs[Long]("n_distinct") === 2L)
+    assert(p("lang").getAs[Double]("numeric_frac") === 0.0)
+    assert(p("lang").isNullAt(p("lang").fieldIndex("min_num")))
+
+    // score: 2 of 3 non-null values parse as double
+    assert(math.abs(p("score").getAs[Double]("numeric_frac") - 2.0 / 3) < 1e-12)
+    assert(p("score").getAs[Double]("min_num") === 7.0)
+    assert(p("score").getAs[Double]("max_num") === 12.5)
+    assert(p("score").getAs[Long]("max_len") === 4L)
+  }
+
+  test("suggestSchema is self-consistent: induced rules accept the profiled corpus") {
+    val schema = Induction.suggestSchema(docs, docFields)
+    assert(Validator.violations(docs, schema, Seq("doc_id")).isEmpty)
+  }
+
+  test("suggestSchema induces the expected rule kinds and rejects out-of-distribution rows") {
+    val schema = Induction.suggestSchema(docs, docFields)
+    val byField = schema.fields.toMap
+
+    // doc_id / n_chars: never null → required, numeric bounds observed
+    assert(byField("doc_id").required && byField("doc_id").min.isDefined)
+    val (lo, hi) = (byField("n_chars").min.get, byField("n_chars").max.get)
+    assert(lo <= hi)
+    // lang: low-cardinality string → allowed set induced
+    assert(byField("lang").allowed.exists(_.nonEmpty))
+    // text: high-cardinality string → length bounds, no allowed set
+    assert(byField("text").allowed.isEmpty)
+    assert(byField("text").maxLength.isDefined)
+
+    // A row outside the profiled distribution fires the induced rules:
+    // unknown lang (allowed), out-of-range n_chars (max), null doc_id
+    // (required).
+    val bad = Seq((null.asInstanceOf[java.lang.Long], "tlh", (hi + 1000).toLong))
+      .toDF("doc_id", "lang", "n_chars")
+      .withColumn("text", lit("x"))
+      .withColumn("source", lit(null).cast("string"))
+    val v = Validator.violations(bad, schema, Seq("doc_id"))
+      .select("field", "rule").as[(String, String)].collect().toSet
+    assert(v.contains(("doc_id", "required")))
+    assert(v.contains(("lang", "allowed")))
+    assert(v.contains(("n_chars", "max")))
+  }
+
+  test("profile approx mode: HLL distinct within rsd of exact; no Expand in the plan") {
+    val exact = Induction.profile(docs, Seq("lang", "doc_id"), exact = true)
+      .collect().map(r => r.getAs[String]("field") -> r.getAs[Long]("n_distinct")).toMap
+    val approx = Induction.profile(docs, Seq("lang", "doc_id"))
+      .collect().map(r => r.getAs[String]("field") -> r.getAs[Long]("n_distinct")).toMap
+    approx.foreach { case (f, a) =>
+      assert(math.abs(a - exact(f)).toDouble / exact(f) < 0.1, s"field $f")
+    }
+    // the sketch path must plan a single-pass aggregate (no Expand —
+    // the ×fields row amplification exact count-distinct needs)
+    val plan = Induction.profile(docs, docFields)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"))
+  }
+}
