@@ -162,10 +162,21 @@ object Sampling {
     *      bin, where the global sort is genuinely irreducible).
     *
     * Rows with NULL score or weight are never selected; weights must be
-    * non-negative (token counts) — the prefix rule is meaningless
-    * otherwise. Deterministic: identical selection at any parallelism,
-    * rerun, or engine (the oracle replays the global-prefix semantics
-    * directly with a window cumsum).
+    * non-negative (token counts) and keys unique — the prefix rule is
+    * meaningless otherwise. Deterministic: identical selection at any
+    * parallelism, rerun, or engine (the oracle replays the
+    * global-prefix semantics directly with a window cumsum).
+    *
+    * The score is often a DERIVED expression (a regex-heavy quality
+    * composite) far more expensive than the selection math, so all
+    * cutoff passes run over a slim `(key, score, weight)` projection
+    * cached ONCE in `scope` (the miners' caller-owned lifecycle —
+    * release after consuming the result); the full-row emit then
+    * evaluates the score exactly one more time (the kept-bins filter),
+    * with boundary-bin survivors resolved on the slim frame and
+    * semi-joined back by key (~corpus/nBins keys — AQE broadcasts).
+    * Total: two evaluations of the score expression, regardless of
+    * nBins or how many driver actions the cutoff needs.
     */
   def selectByTokenBudget(
       df: DataFrame,
@@ -174,22 +185,25 @@ object Sampling {
       scoreCol: String,
       budget: Long,
       nBins: Int = 1000,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      scope: graft.util.CacheScope = graft.util.CacheScope.shared): DataFrame = {
     require(budget >= 0L, s"budget must be non-negative, got $budget")
     require(nBins >= 1, s"nBins must be positive, got $nBins")
     val s0 = col(scoreCol).cast("double")
     val w = col(weightCol).cast("long")
     val eligible = df.where(s0.isNotNull && w.isNotNull)
-    val range = eligible.agg(min(s0), max(s0)).first()
+    val slim = scope.cache(eligible
+      .select(col(keyCol).as("__k"), s0.as("__s"), w.as("__w")))
+    val range = slim.agg(min(col("__s")), max(col("__s"))).first()
     if (range.isNullAt(0)) return eligible // empty input
     val (lo, hi) = (range.getDouble(0), range.getDouble(1))
-    val binCol =
+    def binOf(c: Column): Column =
       if (hi == lo) lit(0)
-      else least(floor((s0 - lit(lo)) / lit((hi - lo) / nBins)).cast("int"),
+      else least(floor((c - lit(lo)) / lit((hi - lo) / nBins)).cast("int"),
         lit(nBins - 1))
 
-    val perBin = eligible.groupBy(binCol.as("__bin"))
-      .agg(sum(w).as("__w"))
+    val perBin = slim.groupBy(binOf(col("__s")).as("__bin"))
+      .agg(sum(col("__w")).as("__wsum"))
       .collect()
       .map(r => r.getInt(0) -> r.getLong(1))
       .sortBy(-_._1)
@@ -203,14 +217,15 @@ object Sampling {
     if (boundary == Int.MinValue) return eligible
 
     val wnd = org.apache.spark.sql.expressions.Window
-      .orderBy(s0.desc, bucket(col(keyCol), seed), col(keyCol))
+      .orderBy(col("__s").desc, bucket(col("__k"), seed), col("__k"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    val boundaryRows = eligible.where(binCol === boundary)
-      .withColumn("__cum", sum(w).over(wnd))
+    val boundaryKeys = slim.where(binOf(col("__s")) === boundary)
+      .withColumn("__cum", sum(col("__w")).over(wnd))
       .where(lit(cumAbove) + col("__cum") <= budget)
-      .drop("__cum")
-    eligible.where(binCol > boundary).unionByName(boundaryRows)
+      .select(col("__k"))
+    eligible.where(binOf(s0) > boundary)
+      .unionByName(df.join(boundaryKeys, col(keyCol) === col("__k"), "left_semi"))
   }
 
   /** The stratified keep/drop DECISION as a boolean column — reusable
