@@ -512,18 +512,20 @@ object Dedup {
     while (!done) {
       val viaNeighbours = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), col("component"))
+        .select(col("dst").as("id"), col("component"), lit(false).as("__self"))
+      // The previous label rides through the same aggregate (min over
+      // the self-tagged branch), so convergence is a cheap scan of the
+      // just-checkpointed frame instead of a join back against the old
+      // labels — one shuffle per round total.
       val next = labels
-        .select(col("id"), col("component"))
+        .select(col("id"), col("component"), lit(true).as("__self"))
         .union(viaNeighbours)
         .groupBy(col("id"))
-        .agg(min(col("component")).as("component"))
+        .agg(min(col("component")).as("component"),
+          min(when(col("__self"), col("component"))).as("__prev"))
         .localCheckpoint(true)
-      done = next
-        .join(labels.withColumnRenamed("component", "__prev"), "id")
-        .where(col("component") =!= col("__prev"))
-        .isEmpty
-      labels = next
+      done = next.where(col("component") =!= col("__prev")).isEmpty
+      labels = next.select(col("id"), col("component"))
       iter += 1
       if (!done && iter >= maxIters)
         throw new IllegalStateException(
