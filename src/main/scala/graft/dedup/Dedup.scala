@@ -503,9 +503,13 @@ object Dedup {
       half.union(half.select(col("dst").as("src"), col("src").as("dst")))
         .where(col("src").isNotNull && col("dst").isNotNull)
         .distinct())
+    // Initial labels already fold in ONE propagation step — min over
+    // self and direct neighbours is a plain aggregate on the symmetric
+    // edge list (no join), so star-shaped clusters (the common near-dup
+    // shape) converge after a single joined round.
     var labels = edges
-      .select(col("src").as("id"), col("src").as("component"))
-      .distinct()
+      .groupBy(col("src").as("id"))
+      .agg(min(least(col("src"), col("dst"))).as("component"))
       .localCheckpoint(true)
     var iter = 0
     var done = false
