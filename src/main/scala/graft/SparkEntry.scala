@@ -117,6 +117,41 @@ object SparkEntry {
     }
     .mkString(" UNION ALL ")
 
+  /** Oracle for `q_induced_validate_documents`: replay the INDUCTION
+    * (every bound a scalar subquery over the base slice, every
+    * conditional rule guarded by the same condition `suggestSchema`
+    * uses — required iff the base has no nulls, `allowed` iff exact
+    * cardinality ≤ 20 and the base is non-empty) and then the
+    * validation of the odd half, rule for rule.
+    */
+  private val inducedValidateSql: String = {
+    def row(f: String, r: String, v: String, pred: String) =
+      s"SELECT doc_id, '$f' AS field, '$r' AS rule, $v AS value, 'error' AS severity FROM cur WHERE $pred"
+    def required(f: String) = row(f, "required", "CAST(NULL AS VARCHAR)",
+      s"$f IS NULL AND (SELECT count(*) - count($f) FROM base) = 0")
+    def numeric(f: String) = Seq(
+      required(f),
+      row(f, "min", s"CAST($f AS VARCHAR)",
+        s"$f IS NOT NULL AND $f < (SELECT min($f) FROM base)"),
+      row(f, "max", s"CAST($f AS VARCHAR)",
+        s"$f IS NOT NULL AND $f > (SELECT max($f) FROM base)"))
+    def stringy(f: String) = Seq(
+      required(f),
+      row(f, "allowed", f,
+        s"$f IS NOT NULL AND (SELECT count($f) FROM base) > 0" +
+          s" AND (SELECT count(DISTINCT $f) FROM base) <= 20" +
+          s" AND $f NOT IN (SELECT $f FROM base WHERE $f IS NOT NULL)"),
+      row(f, "minlength", f,
+        s"$f IS NOT NULL AND length($f) < (SELECT min(length($f)) FROM base)"),
+      row(f, "maxlength", f,
+        s"$f IS NOT NULL AND length($f) > (SELECT max(length($f)) FROM base)"))
+    "WITH base AS (SELECT * FROM documents WHERE doc_id % 3 = 0),\n" +
+      "cur AS (SELECT * FROM documents WHERE doc_id % 3 <> 0)\n" +
+      (numeric("doc_id") ++ numeric("n_chars") ++
+        stringy("text") ++ stringy("lang") ++ stringy("source"))
+        .mkString("\nUNION ALL\n")
+  }
+
   private def docViolationCountSql(severities: Set[String]): String = docRuleSql
     .collect { case (_, _, pred, _, sev) if severities(sev) =>
       s"(CASE WHEN $pred THEN 1 ELSE 0 END)"
@@ -451,6 +486,21 @@ object SparkEntry {
       // 100 TB default is the HLL sketch (no Expand).
       graft.schema.Induction.profile(docs(s, dir),
         Seq("doc_id", "text", "lang", "source", "n_chars"), exact = true)),
+
+    "q_induced_validate_documents" -> ((s, dir) => {
+      // Schema inference end-to-end: induce the strictest schema from
+      // the doc_id-multiple-of-3 slice (the "known-good baseline" snapshot) and
+      // validate the remaining two thirds against it — the violations ARE the
+      // distribution delta between the halves. The oracle re-derives
+      // every induced bound (required guards, numeric min/max, allowed
+      // sets under the cardinality cap, length bounds) as scalar
+      // subqueries over the same base half and replays every rule.
+      val d = docs(s, dir)
+      val schema = graft.schema.Induction.suggestSchema(
+        d.where(col("doc_id") % 3 === 0),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
+      Validator.violations(d.where(col("doc_id") % 3 =!= 0), schema, Seq("doc_id"))
+    }),
 
     "q_temperature_documents" -> ((s, dir) =>
       // UniMax-style mixture rebalancing: per-lang keep rates
@@ -1226,6 +1276,8 @@ object SparkEntry {
         |   doc_id) AS rk
         | FROM documents)
         |WHERE rk <= 7""".stripMargin,
+
+    "q_induced_validate_documents" -> inducedValidateSql,
 
     "q_profile_documents" -> Seq("doc_id", "text", "lang", "source", "n_chars")
       .map { f =>
