@@ -487,6 +487,19 @@ object SparkEntry {
       graft.schema.Induction.profile(docs(s, dir),
         Seq("doc_id", "text", "lang", "source", "n_chars"), exact = true)),
 
+    "q_expectations_documents" -> ((s, dir) =>
+      // Table-level expectation suite (dbt-test / Great-Expectations
+      // layer): aggregate invariants per lang slice, ALL evaluated in
+      // one grouped aggregation; verdict rows are data (E4). The
+      // bounds are chosen so both pass and fail rows occur.
+      graft.verdict.Expectations.evaluate(docs(s, dir), Seq(
+        graft.verdict.Expectations.Expect("row_count", lo = 50),
+        graft.verdict.Expectations.Expect("null_frac", "text", hi = 0.1),
+        graft.verdict.Expectations.Expect("distinct", "source", lo = 10, hi = 30),
+        graft.verdict.Expectations.Expect("mean", "n_chars", lo = 100, hi = 1000),
+        graft.verdict.Expectations.Expect("max", "n_chars", hi = 550)),
+        groupCols = Seq("lang"))),
+
     "q_induced_validate_documents" -> ((s, dir) => {
       // Schema inference end-to-end: induce the strictest schema from
       // the doc_id-multiple-of-3 slice (the "known-good baseline" snapshot) and
@@ -1278,6 +1291,29 @@ object SparkEntry {
         |WHERE rk <= 7""".stripMargin,
 
     "q_induced_validate_documents" -> inducedValidateSql,
+
+    "q_expectations_documents" ->
+      """WITH g AS (
+        | SELECT lang, CAST(count(*) AS DOUBLE) AS n,
+        |  avg(CASE WHEN text IS NULL THEN 1.0 ELSE 0.0 END) AS nf,
+        |  CAST(count(DISTINCT source) AS DOUBLE) AS nd,
+        |  avg(CAST(n_chars AS DOUBLE)) AS mean_nc,
+        |  max(CAST(n_chars AS DOUBLE)) AS max_nc
+        | FROM documents GROUP BY lang)
+        |SELECT lang, 'row_count' AS "check", '' AS "column", n AS observed,
+        | 50.0 AS lo, CAST('inf' AS DOUBLE) AS hi, n >= 50.0 AS pass FROM g
+        |UNION ALL
+        |SELECT lang, 'null_frac', 'text', nf, CAST('-inf' AS DOUBLE), 0.1,
+        | nf <= 0.1 FROM g
+        |UNION ALL
+        |SELECT lang, 'distinct', 'source', nd, 10.0, 30.0,
+        | nd >= 10.0 AND nd <= 30.0 FROM g
+        |UNION ALL
+        |SELECT lang, 'mean', 'n_chars', mean_nc, 100.0, 1000.0,
+        | mean_nc >= 100.0 AND mean_nc <= 1000.0 FROM g
+        |UNION ALL
+        |SELECT lang, 'max', 'n_chars', max_nc, CAST('-inf' AS DOUBLE), 550.0,
+        | max_nc <= 550.0 FROM g""".stripMargin,
 
     "q_profile_documents" -> Seq("doc_id", "text", "lang", "source", "n_chars")
       .map { f =>

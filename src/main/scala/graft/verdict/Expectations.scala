@@ -1,0 +1,114 @@
+package graft.verdict
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** TABLE-level expectations (the dbt-test / Great-Expectations layer of
+  * a validation engine): declarative aggregate invariants — row count,
+  * null fraction, distinct cardinality, mean/min/max bounds — evaluated
+  * over the whole table or per group. Row rules (graft.validate) catch
+  * bad ROWS; expectations catch bad TABLES: a snapshot that is 40%
+  * smaller than yesterday's, a column whose null rate doubled, a key
+  * that stopped being unique — every row individually fine.
+  *
+  * Semantics grounding: the reference's import flow gates on a
+  * TABLE-level property (imported list non-empty,
+  * app/.../HomeViewModel.kt:168-177) before accepting any row — the
+  * degenerate `row_count` expectation.
+  *
+  * Scale design: ALL expectations compile into ONE aggregation
+  * (partial + final, map-side combine; one shuffle when grouped, none
+  * global). `distinct` uses the exact count by default for verdict
+  * stability — swap `approxDistinct = true` at 100 TB for the HLL
+  * sketch (no Expand, same trade as `Induction.profile`). Output is one
+  * row per (group ×) check: `(check, column, observed, lo, hi, pass)` —
+  * verdicts are DATA, never exceptions (E4).
+  */
+object Expectations {
+
+  /** One aggregate invariant: `observed(check, column)` must land in
+    * `[lo, hi]`. Closed check vocabulary (misconfiguration rejected at
+    * construction, not mid-job — E1):
+    *
+    *   - `row_count`  — rows in the table/group (`column` ignored: "")
+    *   - `null_frac`  — fraction of NULL values in `column` (0 on an
+    *     empty group: no rows, no nulls)
+    *   - `distinct`   — distinct non-null values in `column`
+    *   - `mean` / `min` / `max` — over `column` cast to double
+    *
+    * Unbounded sides default to ±∞.
+    */
+  final case class Expect(
+      check: String,
+      column: String = "",
+      lo: Double = Double.NegativeInfinity,
+      hi: Double = Double.PositiveInfinity) {
+    require(Expect.kinds.contains(check),
+      s"unknown check '$check' (closed vocabulary: ${Expect.kinds.toSeq.sorted.mkString(", ")})")
+    require(check == "row_count" || column.nonEmpty,
+      s"check '$check' needs a column")
+    require(lo <= hi, s"empty bound [$lo, $hi] for $check($column)")
+  }
+
+  object Expect {
+    val kinds: Set[String] =
+      Set("row_count", "null_frac", "distinct", "mean", "min", "max")
+  }
+
+  private def observe(e: Expect, approxDistinct: Boolean): Column = e.check match {
+    case "row_count" => count(lit(1)).cast("double")
+    case "null_frac" =>
+      coalesce(avg(when(col(e.column).isNull, 1d).otherwise(0d)), lit(0d))
+    case "distinct" =>
+      (if (approxDistinct) approx_count_distinct(col(e.column))
+       else countDistinct(col(e.column))).cast("double")
+    case "mean" => avg(col(e.column).cast("double"))
+    case "min" => min(col(e.column).cast("double"))
+    case "max" => max(col(e.column).cast("double"))
+  }
+
+  /** Evaluate every expectation in one aggregation. With `groupCols`,
+    * one verdict row per (group, check) — per-partition expectations,
+    * e.g. "every lang slice has ≥ 1000 rows". A NULL observed value
+    * (mean/min/max over an all-null column) FAILS any bounded check —
+    * "no signal" must not pass a gate that asked for one.
+    */
+  def evaluate(
+      df: DataFrame,
+      expects: Seq[Expect],
+      groupCols: Seq[String] = Nil,
+      approxDistinct: Boolean = false): DataFrame = {
+    require(expects.nonEmpty, "evaluate needs at least one expectation")
+    val aggs = expects.zipWithIndex.map { case (e, i) =>
+      observe(e, approxDistinct).as(s"__obs$i")
+    }
+    val agged =
+      if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val rows = expects.zipWithIndex.map { case (e, i) =>
+      val o = col(s"__obs$i")
+      struct(
+        lit(e.check).as("check"),
+        lit(e.column).as("column"),
+        o.as("observed"),
+        lit(e.lo).as("lo"),
+        lit(e.hi).as("hi"),
+        coalesce(o >= e.lo && o <= e.hi, lit(false)).as("pass"))
+    }
+    agged.select(
+      groupCols.map(col) :+ explode(array(rows: _*)).as("e"): _*)
+      .select(groupCols.map(col) :+ col("e.*"): _*)
+  }
+
+  /** True iff every expectation passes — the table-level gate
+    * (reference analog: reject the whole import when the table-level
+    * property fails, app/.../HomeViewModel.kt:168-177).
+    */
+  def holds(
+      df: DataFrame,
+      expects: Seq[Expect],
+      groupCols: Seq[String] = Nil,
+      approxDistinct: Boolean = false): Boolean =
+    evaluate(df, expects, groupCols, approxDistinct)
+      .where(!col("pass")).isEmpty
+}

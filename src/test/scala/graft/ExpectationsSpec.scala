@@ -1,0 +1,73 @@
+package graft
+
+import graft.verdict.Expectations
+import graft.verdict.Expectations.Expect
+import org.apache.spark.sql.functions._
+
+class ExpectationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+
+  test("evaluate: observed values and pass flags match directly computed stats") {
+    val n = docs.count().toDouble
+    val nullFrac = docs.where($"text".isNull).count() / n
+    val out = Expectations.evaluate(docs, Seq(
+        Expect("row_count", lo = 1),
+        Expect("null_frac", "text", hi = nullFrac), // exactly at the bound → pass
+        Expect("distinct", "lang", lo = 5, hi = 5),
+        Expect("mean", "n_chars", lo = 0),
+        Expect("max", "n_chars", hi = 0) // deliberately failing
+      )).collect().map(r => (r.getAs[String]("check"), r)).toMap
+
+    assert(out("row_count").getAs[Double]("observed") === n)
+    assert(out("row_count").getAs[Boolean]("pass"))
+    assert(math.abs(out("null_frac").getAs[Double]("observed") - nullFrac) < 1e-12)
+    assert(out("null_frac").getAs[Boolean]("pass"))
+    assert(out("distinct").getAs[Double]("observed") === 5.0)
+    assert(out("mean").getAs[Boolean]("pass"))
+    assert(!out("max").getAs[Boolean]("pass"))
+    assert(!Expectations.holds(docs, Seq(Expect("max", "n_chars", hi = 0))))
+    assert(Expectations.holds(docs, Seq(Expect("row_count", lo = 1))))
+  }
+
+  test("grouped expectations: one verdict row per (group, check)") {
+    val out = Expectations.evaluate(docs,
+      Seq(Expect("row_count", lo = 10), Expect("null_frac", "text", hi = 0.5)),
+      groupCols = Seq("lang"))
+    val langs = docs.select("lang").distinct().count()
+    assert(out.count() === langs * 2)
+    assert(out.columns.toSeq === Seq("lang", "check", "column", "observed", "lo", "hi", "pass"))
+    // per-group row counts match a direct groupBy
+    val direct = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    out.where($"check" === "row_count").collect().foreach { r =>
+      assert(r.getAs[Double]("observed") === direct(r.getString(0)))
+    }
+  }
+
+  test("null observed fails a bounded check; misconfig rejected at construction") {
+    val allNull = docs.withColumn("gone", lit(null).cast("double"))
+    val out = Expectations.evaluate(allNull,
+      Seq(Expect("mean", "gone", lo = 0))).collect().head
+    assert(out.isNullAt(out.fieldIndex("observed")))
+    assert(!out.getAs[Boolean]("pass")) // no signal must not pass a gate
+
+    assertThrows[IllegalArgumentException](Expect("median", "x"))
+    assertThrows[IllegalArgumentException](Expect("mean"))
+    assertThrows[IllegalArgumentException](Expect("mean", "x", lo = 2, hi = 1))
+  }
+
+  test("approx distinct: sketch within rsd of exact; single-pass plan (no Expand)") {
+    val exact = Expectations.evaluate(docs, Seq(Expect("distinct", "doc_id")))
+      .collect().head.getAs[Double]("observed")
+    val approx = Expectations.evaluate(docs, Seq(Expect("distinct", "doc_id")),
+      approxDistinct = true).collect().head.getAs[Double]("observed")
+    assert(math.abs(approx - exact) / exact < 0.1)
+    val plan = Expectations.evaluate(docs,
+        Seq(Expect("distinct", "doc_id"), Expect("distinct", "lang"),
+          Expect("row_count")), approxDistinct = true)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"))
+  }
+}
