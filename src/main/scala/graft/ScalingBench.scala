@@ -141,6 +141,9 @@ object ScalingBench {
     }
 
     val mode = args.lift(4).getOrElse("block")
+    require(mode == "block" || mode == "interleaved",
+      s"unknown mode '$mode' (block | interleaved) — refusing to record " +
+        "evidence under a misattributed methodology label")
     val (samplesN, samples4N, checkN) =
       if (mode == "interleaved") {
         // Alternate N / 4N samples so this host's multi-minute external

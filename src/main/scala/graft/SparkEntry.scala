@@ -1340,8 +1340,9 @@ object SparkEntry {
         |        * 1000000) AS t
         | FROM counts)
         |SELECT d.lang, count(*) AS n_kept
-        |FROM documents d JOIN thr USING (lang)
-        |WHERE CAST('0x' || substring(md5(coalesce(CAST(d.doc_id AS VARCHAR), '__NULL_KEY__') || ':42'), 1, 8) AS UBIGINT) % 1000000 < t
+        |FROM documents d LEFT JOIN thr USING (lang)
+        |WHERE CAST('0x' || substring(md5(coalesce(CAST(d.doc_id AS VARCHAR), '__NULL_KEY__') || ':42'), 1, 8) AS UBIGINT) % 1000000
+        |      < coalesce(t, 1000000)
         |GROUP BY d.lang""".stripMargin,
 
     "q_budget_documents" ->

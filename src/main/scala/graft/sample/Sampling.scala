@@ -161,9 +161,12 @@ object Sampling {
     *      it; degenerate all-equal-scores input puts everything in one
     *      bin, where the global sort is genuinely irreducible).
     *
-    * Rows with NULL score or weight are never selected; weights must be
-    * non-negative (token counts) and keys unique — the prefix rule is
-    * meaningless otherwise. Deterministic: identical selection at any
+    * Rows with NULL or non-finite (NaN/±Inf) score, or NULL weight, are
+    * never selected — a NaN `hi` would poison every bin width into NaN
+    * and crash the cutoff walk, so non-finite scores are excluded like
+    * nulls rather than mid-job (E1 spirit: bad configuration must not
+    * fail the run halfway). Weights must be non-negative (token counts)
+    * and keys unique — the prefix rule is meaningless otherwise. Deterministic: identical selection at any
     * parallelism, rerun, or engine (the oracle replays the
     * global-prefix semantics directly with a window cumsum).
     *
@@ -191,7 +194,9 @@ object Sampling {
     require(nBins >= 1, s"nBins must be positive, got $nBins")
     val s0 = col(scoreCol).cast("double")
     val w = col(weightCol).cast("long")
-    val eligible = df.where(s0.isNotNull && w.isNotNull)
+    val eligible = df.where(s0.isNotNull && !isnan(s0) &&
+      s0 =!= lit(Double.PositiveInfinity) &&
+      s0 =!= lit(Double.NegativeInfinity) && w.isNotNull)
     val slim = scope.cache(eligible
       .select(col(keyCol).as("__k"), s0.as("__s"), w.as("__w")))
     val range = slim.agg(min(col("__s")), max(col("__s"))).first()

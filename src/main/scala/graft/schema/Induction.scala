@@ -16,13 +16,14 @@ import org.apache.spark.sql.types.{DataType, DoubleType, NumericType, StringType
   * rust/src/lib.rs:81-83); induction generalizes that to rule level.
   *
   * Scale design: [[profile]] is ONE global aggregation over the corpus
-  * (partial + final, no row shuffle; the only caveat is `exact = true`,
-  * whose multi-column count-distinct plans an Expand — ×fields row
-  * amplification — so the 100 TB path is the default HLL sketch, same
-  * exact/approx split as `ColumnStats.quantiles`). [[suggestSchema]]
-  * collects O(fields) profile rows plus, per low-cardinality field, at
-  * most `maxAllowed + 1` distinct values — all driver-side data is
-  * bounded by configuration, never by corpus size.
+  * (the shared `ColumnStats.longFormat` single-pass scaffold; the only
+  * caveat is `exact = true`, whose multi-column count-distinct plans an
+  * Expand — ×fields row amplification — so the 100 TB path is the
+  * default HLL sketch, same exact/approx split as
+  * `ColumnStats.quantiles`). [[suggestSchema]] collects O(fields)
+  * profile rows plus ONE more aggregation gathering every qualifying
+  * `allowed` set (each bounded by `maxAllowed` values) — all
+  * driver-side data is bounded by configuration, never by corpus size.
   */
 object Induction {
 
@@ -38,39 +39,39 @@ object Induction {
       fields: Seq[String],
       exact: Boolean = false): DataFrame = {
     require(fields.nonEmpty, "profile needs at least one field")
-    val aggs = count(lit(1)).as("__n") +: fields.flatMap { f =>
-      val c = col(f)
-      val num = c.try_cast(DoubleType)
-      Seq(
-        sum(when(c.isNull, 1L).otherwise(0L)).as(s"__${f}__n_null"),
-        (if (exact) countDistinct(c) else approx_count_distinct(c))
-          .as(s"__${f}__n_distinct"),
-        count(num).as(s"__${f}__n_numeric"),
-        min(num).as(s"__${f}__min_num"),
-        max(num).as(s"__${f}__max_num"),
-        min(length(c.cast(StringType))).cast("long").as(s"__${f}__min_len"),
-        max(length(c.cast(StringType))).cast("long").as(s"__${f}__max_len"))
-    }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
-    val rows = fields.map { f =>
-      val nonNull = col("__n") - col(s"__${f}__n_null")
-      struct(
-        lit(f).as("field"),
-        col("__n").as("n_rows"),
-        col(s"__${f}__n_null").as("n_null"),
-        when(col("__n") > 0,
-          col(s"__${f}__n_null").cast("double") / col("__n"))
-          .as("null_frac"),
-        col(s"__${f}__n_distinct").as("n_distinct"),
-        when(nonNull > 0,
-          col(s"__${f}__n_numeric").cast("double") / nonNull)
-          .as("numeric_frac"),
-        col(s"__${f}__min_num").as("min_num"),
-        col(s"__${f}__max_num").as("max_num"),
-        col(s"__${f}__min_len").as("min_len"),
-        col(s"__${f}__max_len").as("max_len"))
-    }
-    wide.select(explode(array(rows: _*)).as("p")).select("p.*")
+    graft.stats.ColumnStats.longFormat(df, fields, groupCols = Nil,
+      aggsFor = { f =>
+        val c = col(f)
+        val num = c.try_cast(DoubleType)
+        Seq(
+          count(lit(1)).as(s"__${f}__n"),
+          sum(when(c.isNull, 1L).otherwise(0L)).as(s"__${f}__n_null"),
+          (if (exact) countDistinct(c) else approx_count_distinct(c))
+            .as(s"__${f}__n_distinct"),
+          count(num).as(s"__${f}__n_numeric"),
+          min(num).as(s"__${f}__min_num"),
+          max(num).as(s"__${f}__max_num"),
+          min(length(c.cast(StringType))).cast("long").as(s"__${f}__min_len"),
+          max(length(c.cast(StringType))).cast("long").as(s"__${f}__max_len"))
+      },
+      rowFor = { f =>
+        val n = col(s"__${f}__n")
+        val nonNull = n - col(s"__${f}__n_null")
+        struct(
+          lit(f).as("field"),
+          n.as("n_rows"),
+          col(s"__${f}__n_null").as("n_null"),
+          when(n > 0, col(s"__${f}__n_null").cast("double") / n)
+            .as("null_frac"),
+          col(s"__${f}__n_distinct").as("n_distinct"),
+          when(nonNull > 0,
+            col(s"__${f}__n_numeric").cast("double") / nonNull)
+            .as("numeric_frac"),
+          col(s"__${f}__min_num").as("min_num"),
+          col(s"__${f}__max_num").as("max_num"),
+          col(s"__${f}__min_len").as("min_len"),
+          col(s"__${f}__max_len").as("max_len"))
+      })
   }
 
   /** The strictest [[Schema]] the profiled corpus satisfies:
@@ -89,7 +90,9 @@ object Induction {
     * Cardinality uses `exact = true` (an `allowed` set must not depend
     * on sketch error); pass a sampled frame at 100 TB if the Expand
     * cost matters — rule induction is a bootstrap step, not a per-run
-    * one.
+    * one. Exactly two jobs: the profile pass, then one aggregation
+    * collecting ALL qualifying `allowed` sets together (`collect_set`,
+    * each bounded by `maxAllowed` values — never a per-field scan).
     */
   def suggestSchema(
       df: DataFrame,
@@ -97,15 +100,29 @@ object Induction {
       maxAllowed: Int = 20): Schema = {
     val prof = profile(df, fields, exact = true).collect()
       .map(r => r.getAs[String]("field") -> r).toMap
+
+    def hasNonNull(f: String) =
+      prof(f).getAs[Long]("n_rows") > prof(f).getAs[Long]("n_null")
+    def isLowCardString(f: String) =
+      df.schema(f).dataType == StringType && hasNonNull(f) &&
+        prof(f).getAs[Long]("n_distinct") <= maxAllowed
+
+    val lowCard = fields.filter(isLowCardString)
+    val allowedSets: Map[String, Seq[String]] =
+      if (lowCard.isEmpty) Map.empty
+      else {
+        val aggs = lowCard.map(f => collect_set(col(f)).as(f))
+        val r = df.agg(aggs.head, aggs.tail: _*).first()
+        lowCard.map(f => f -> r.getSeq[String](r.fieldIndex(f)).sorted).toMap
+      }
+
     val specs = fields.map { f =>
       val p = prof(f)
       val nNull = p.getAs[Long]("n_null")
-      val hasNonNull = p.getAs[Long]("n_rows") > nNull
       val frameNumeric =
         df.schema(f).dataType.isInstanceOf[NumericType]
-      val parsesNumeric = hasNonNull &&
+      val parsesNumeric = hasNonNull(f) &&
         Option(p.getAs[java.lang.Double]("numeric_frac")).exists(_ == 1.0)
-      val isString = df.schema(f).dataType == StringType
       val base = FieldSpec(
         required = nNull == 0L,
         nullable = nNull > 0L)
@@ -115,18 +132,12 @@ object Induction {
             dtype = if (frameNumeric) None else Some(DoubleType: DataType),
             min = Option(p.getAs[java.lang.Double]("min_num")).map(_.toDouble),
             max = Option(p.getAs[java.lang.Double]("max_num")).map(_.toDouble))
-        else if (isString && hasNonNull) {
-          val allowed =
-            if (p.getAs[Long]("n_distinct") <= maxAllowed)
-              Some(df.select(col(f)).where(col(f).isNotNull)
-                .distinct().limit(maxAllowed + 1)
-                .collect().map(_.getString(0)).toSeq.sorted)
-            else None
+        else if (df.schema(f).dataType == StringType && hasNonNull(f))
           base.copy(
-            allowed = allowed,
+            allowed = allowedSets.get(f),
             minLength = Option(p.getAs[java.lang.Long]("min_len")).map(_.toInt),
             maxLength = Option(p.getAs[java.lang.Long]("max_len")).map(_.toInt))
-        } else base
+        else base
       f -> spec
     }
     Schema.of(specs: _*)

@@ -103,12 +103,20 @@ object Expectations {
   /** True iff every expectation passes — the table-level gate
     * (reference analog: reject the whole import when the table-level
     * property fails, app/.../HomeViewModel.kt:168-177).
+    *
+    * A GROUPED suite over an empty table produces zero groups and so
+    * zero verdict rows; that must FAIL the gate, not vacuously pass it
+    * — an empty snapshot is the exact catastrophe a row_count
+    * expectation exists to catch.
     */
   def holds(
       df: DataFrame,
       expects: Seq[Expect],
       groupCols: Seq[String] = Nil,
-      approxDistinct: Boolean = false): Boolean =
-    evaluate(df, expects, groupCols, approxDistinct)
-      .where(!col("pass")).isEmpty
+      approxDistinct: Boolean = false): Boolean = {
+    val r = evaluate(df, expects, groupCols, approxDistinct)
+      .agg(count(lit(1)), sum(when(!col("pass"), 1L).otherwise(0L)))
+      .first()
+    r.getLong(0) > 0 && r.getLong(1) == 0L
+  }
 }

@@ -58,6 +58,16 @@ class ExpectationsSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](Expect("mean", "x", lo = 2, hi = 1))
   }
 
+  test("grouped holds on an empty table fails, never vacuously passes") {
+    val empty = docs.where(lit(false))
+    // zero groups → zero verdict rows → the gate must reject
+    assert(!Expectations.holds(empty,
+      Seq(Expect("row_count", lo = 1000)), groupCols = Seq("lang")))
+    // ungrouped form fails via the row_count bound itself
+    assert(!Expectations.holds(empty, Seq(Expect("row_count", lo = 1))))
+    assert(Expectations.holds(empty, Seq(Expect("row_count", hi = 0))))
+  }
+
   test("approx distinct: sketch within rsd of exact; single-pass plan (no Expand)") {
     val exact = Expectations.evaluate(docs, Seq(Expect("distinct", "doc_id")))
       .collect().head.getAs[Double]("observed")

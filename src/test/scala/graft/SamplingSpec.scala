@@ -173,5 +173,17 @@ class SamplingSpec extends SparkSpec {
       withNulls, "doc_id", "n_chars", "score", budget = total)
     assert(sel.where(col("doc_id") % 2 =!= 0).count() === 0)
     assert(sel.count() === withNulls.where(col("doc_id") % 2 === 0).count())
+
+    // non-finite scores are excluded like nulls — a NaN max would
+    // poison every bin width; must neither crash nor be selected
+    val poisoned = scored.withColumn("score",
+      when(col("doc_id") % 10 === 0, lit(Double.NaN))
+        .when(col("doc_id") % 10 === 1, lit(Double.PositiveInfinity))
+        .when(col("doc_id") % 10 === 2, lit(Double.NegativeInfinity))
+        .otherwise(col("score")))
+    val psel = Sampling.selectByTokenBudget(
+      poisoned, "doc_id", "n_chars", "score", budget = 30000L)
+    assert(psel.where(col("doc_id") % 10 <= 2).count() === 0)
+    assert(psel.count() > 0)
   }
 }
