@@ -274,6 +274,33 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(batchRollup).isEmpty)
   }
 
+  test("expectations sink: per-batch table gates match the batch evaluation") {
+    import graft.verdict.Expectations.Expect
+    val src = Files.createTempDirectory("graft-stream-exp-src").toString
+    val metrics = Files.createTempDirectory("graft-stream-exp-out").toString + "/m"
+    val events = spark.read.parquet(sf("sf0.001") + "/events.parquet")
+    events.write.mode("overwrite").parquet(src)
+    val expects = Seq(
+      Expect("row_count", lo = 10),
+      Expect("null_frac", "value", hi = 0.5),
+      Expect("max", "value", hi = 100))
+
+    val stream = spark.readStream.schema(events.schema).parquet(src)
+    val q = StreamingValidator.expectationsSink(stream, expects,
+      Seq("event_type"), metrics,
+      Files.createTempDirectory("graft-stream-exp-ck").toString,
+      trigger = Trigger.AvailableNow())
+    q.awaitTermination(60000)
+
+    val direct = graft.verdict.Expectations
+      .evaluate(events, expects, Seq("event_type"), approxDistinct = true)
+    val written = spark.read.parquet(metrics).drop("batch_id")
+    assert(written.count() > 0)
+    assert(written.exceptAll(direct).isEmpty && direct.exceptAll(written).isEmpty)
+    // the deliberately tight max bound fails somewhere — gates carry signal
+    assert(written.where(!col("pass")).count() > 0)
+  }
+
   test("drift sink: micro-batch PSI/KS vs the stored baseline; replay idempotent") {
     val src = Files.createTempDirectory("graft-stream-drift-src").toString
     val basePath = Files.createTempDirectory("graft-stream-drift-base").toString
