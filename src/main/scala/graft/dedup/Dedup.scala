@@ -393,21 +393,41 @@ object Dedup {
       s"signature length k=$k must be a positive multiple of bands=$bands " +
         "(banded LSH needs equal-size bands; a remainder would silently " +
         "drop signature tail elements)")
-    // The signature frame feeds band hashing AND both verification
-    // joins — persist it so the upstream compute (or index scan) runs
-    // once, not three times.
+    // Verify INSIDE the bucket join (the same shuffles-carry-scalars
+    // rule the embedding miner follows): the banded index CARRIES the
+    // signature, so a bucket collision verifies immediately — native
+    // MatchCount, codegen'd, not the interpreted zip_with fold — and
+    // the est-Jaccard filter prunes BEFORE the distinct. The previous
+    // shape materialized every candidate pair (15M for 500k docs),
+    // distinct-shuffled them, then re-joined the signature table twice
+    // — two extra corpus-scale exchanges carrying 512-byte arrays, all
+    // to verify pairs of which a few thousand survive.
     val sigs = scope.cache(signatures)
-    val cands = lshCandidates(sigs, bands, maxBucket, scope)
-    cands
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+    // Three cheap re-explodes of the cached sigs beat persisting an
+    // 8M-row × sig-array banded frame (the explode is a zero-shuffle
+    // projection; the cache write would cost more than it saves).
+    def bandedWithSig = sigs
+      .select(col("id"), col("sig"), posexplode(bandSlices(col("sig"), bands)))
+      .select(col("id"), col("sig"), col("pos").as("band"),
+        xxhash64(col("col")).as("bucket"))
+    val hot = bandedBuckets(sigs, bands)
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__bsz"))
+      .where(col("__bsz") > maxBucket)
+      .select(col("band"), col("bucket"))
+    val capped = bandedWithSig.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+    val a = capped.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = capped.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
       .withColumn("est_jaccard",
-        aggregate(
-          zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v
-        ).cast("double") / k)
+        graft.functions.HashExprs.matchCount(col("sig_a"), col("sig_b"))
+          .cast("double") / k)
       .where(col("est_jaccard") >= minEstJaccard)
       .select("id_a", "id_b", "est_jaccard")
+      .distinct()
   }
 
   // -------------------------------------------------------------------

@@ -43,6 +43,64 @@ object HashExprs {
     */
   def simhash64(c: Column): Column =
     GraftExprBridge.column(SimHash64(GraftExprBridge.expression(c)))
+
+  /** Count of positions where two long arrays agree — the MinHash
+    * signature-match kernel (estimated Jaccard = matchCount / k). The
+    * composed form (`aggregate(zip_with(a, b, =), +)`) is an
+    * INTERPRETED higher-order-function chain evaluated per candidate
+    * pair — millions of times in a mining job; this stays inside
+    * WholeStageCodegen as one static loop.
+    */
+  def matchCount(a: Column, b: Column): Column =
+    GraftExprBridge.column(
+      MatchCount(GraftExprBridge.expression(a), GraftExprBridge.expression(b)))
+}
+
+/** Positions where two long arrays hold equal values, compared up to
+  * the shorter length — identical to the composed
+  * `aggregate(zip_with(a, b, (x, y) => if (x = y) 1 else 0), +)` form,
+  * whose null padding on unequal lengths contributes 0 (pinned by
+  * HashExprsSpec). Null in either argument → null.
+  */
+case class MatchCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "match_count"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"match_count requires two array<bigint> arguments, got ${l.sql}, ${r.sql}")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    MatchCount.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.MatchCount.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MatchCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object MatchCount {
+
+  /** Static kernel (called from generated code — keep Java-callable). */
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    var c = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
 }
 
 /** Per-row MinHash signature: for each of `k` hash families, the min of

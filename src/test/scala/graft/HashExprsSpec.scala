@@ -70,4 +70,27 @@ class HashExprsSpec extends SparkSpec {
     assert(byId(2L).getLong(1) === 0L)
     assert(byId(2L).getSeq[Long](2) === Seq.empty)
   }
+
+  test("match_count: bit-parity with the composed zip_with fold, incl. unequal lengths and nulls") {
+    import org.apache.spark.sql.functions.{aggregate, zip_with, when, lit}
+    val df = Seq(
+      (1L, Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 4L)),
+      (2L, Seq(1L, 2L), Seq(1L, 2L, 3L)), // shorter left: padded tail matches 0
+      (3L, Seq.empty[Long], Seq(1L)),
+      (4L, Seq(7L, 7L, 7L), Seq(7L, 7L, 7L))
+    ).toDF("id", "a", "b")
+    val both = df.select($"id",
+      HashExprs.matchCount($"a", $"b").as("native"),
+      aggregate(
+        zip_with($"a", $"b", (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).as("composed"))
+      .collect()
+    both.foreach(r => assert(r.getInt(1) === r.getInt(2), s"id=${r.getLong(0)}"))
+    assert(both.find(_.getLong(0) == 1L).get.getInt(1) === 3)
+    assert(both.find(_.getLong(0) == 4L).get.getInt(1) === 3)
+    // null input → null out
+    val nr = Seq((Some(Seq(1L)), None: Option[Seq[Long]])).toDF("a", "b")
+      .select(HashExprs.matchCount($"a", $"b")).collect().head
+    assert(nr.isNullAt(0))
+  }
 }
