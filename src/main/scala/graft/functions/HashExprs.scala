@@ -138,29 +138,35 @@ object MinHashSig {
 
   /** Static kernel (called from generated code — keep Java-callable). */
   def compute(s: UTF8String, n: Int, k: Int): ArrayData = {
-    val str = s.toString
     // Windows are over CODE POINTS, not UTF-16 units — `substring()` in
     // the composed DataFrame path counts code points, and windowing on
     // chars would both break bit-parity on non-BMP text and split
-    // surrogate pairs mid-character. Precompute code-point offsets once.
-    val cpCount = str.codePointCount(0, str.length)
+    // surrogate pairs mid-character. Walk the UTF-8 bytes directly and
+    // slice shingles with fromBytes: identical bytes → identical hash,
+    // without the UTF8String → String → substring → UTF8String round
+    // trip the obvious implementation pays per shingle (two charset
+    // conversions × shingles × corpus — measurable at mining scale).
+    val bytes = s.getBytes
+    val numBytes = bytes.length
+    val cpCount = s.numChars()
     if (cpCount < n) return new GenericArrayData(Array.emptyLongArray)
     val offsets = new Array[Int](cpCount + 1)
     var o = 0
     var ci = 0
     while (ci < cpCount) {
       offsets(ci) = o
-      o = str.offsetByCodePoints(o, 1)
+      o += UTF8String.numBytesForFirstByte(bytes(o))
       ci += 1
     }
-    offsets(cpCount) = str.length
+    offsets(cpCount) = numBytes
     val mins = Array.fill(k)(Long.MaxValue)
     // Distinct shingles: the DataFrame path applies array_distinct before
     // hashing families; duplicates don't change a min, so no dedup needed
     // for correctness — skip the set allocation entirely.
     var i = 0
     while (i <= cpCount - n) {
-      val shingle = UTF8String.fromString(str.substring(offsets(i), offsets(i + n)))
+      val shingle =
+        UTF8String.fromBytes(bytes, offsets(i), offsets(i + n) - offsets(i))
       // xxhash64(substring) — built-in seed 42, hashing the UTF-8 bytes.
       val base = XxHash64Function.hash(shingle, org.apache.spark.sql.types.StringType, 42L)
       val seed1 = XxHash64Function.hash(base, LongType, 42L)
