@@ -314,19 +314,31 @@ object Dedup {
   def lshCandidates(signatures: DataFrame, bands: Int, maxBucket: Int = 1000,
       scope: CacheScope = CacheScope.shared): DataFrame = {
     val banded = scope.cache(bandedBuckets(signatures, bands))
-    // Oversized-bucket cap: aggregate + broadcast anti-join (hot-bucket
-    // list is tiny); avoids sorting the banded index as a window would.
-    val hot = banded.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("__bsz"))
-      .where(col("__bsz") > maxBucket)
-      .select(col("band"), col("bucket"))
-    val capped = banded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+    val capped = cappedByHotBuckets(banded, banded, maxBucket)
     val a = capped.select(col("band"), col("bucket"), col("id").as("id_a"))
     val b = capped.select(col("band"), col("bucket"), col("id").as("id_b"))
     a.join(b, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
+  }
+
+  /** The oversized-bucket cap, shared by [[lshCandidates]] and the
+    * in-join-verifying miner so the predicate can never drift between
+    * the two paths: hot buckets aggregated from `hotSource` (a slim
+    * banded index — aggregate + broadcast anti-join, no window sort),
+    * removed from `banded` (which may carry extra columns, e.g. the
+    * signature for in-join verification).
+    */
+  private def cappedByHotBuckets(
+      banded: DataFrame,
+      hotSource: DataFrame,
+      maxBucket: Int): DataFrame = {
+    val hot = hotSource.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__bsz"))
+      .where(col("__bsz") > maxBucket)
+      .select(col("band"), col("bucket"))
+    banded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
   }
 
   /** (id, band, bucket) — band hash = xxhash64 over the band's slice. */
@@ -406,16 +418,12 @@ object Dedup {
     // Three cheap re-explodes of the cached sigs beat persisting an
     // 8M-row × sig-array banded frame (the explode is a zero-shuffle
     // projection; the cache write would cost more than it saves).
-    def bandedWithSig = sigs
+    val bandedWithSig = sigs
       .select(col("id"), col("sig"), posexplode(bandSlices(col("sig"), bands)))
       .select(col("id"), col("sig"), col("pos").as("band"),
         xxhash64(col("col")).as("bucket"))
-    val hot = bandedBuckets(sigs, bands)
-      .groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("__bsz"))
-      .where(col("__bsz") > maxBucket)
-      .select(col("band"), col("bucket"))
-    val capped = bandedWithSig.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+    val capped =
+      cappedByHotBuckets(bandedWithSig, bandedBuckets(sigs, bands), maxBucket)
     val a = capped.select(col("band"), col("bucket"),
       col("id").as("id_a"), col("sig").as("sig_a"))
     val b = capped.select(col("band"), col("bucket"),

@@ -90,13 +90,19 @@ case class MatchCount(left: Expression, right: Expression)
 
 object MatchCount {
 
-  /** Static kernel (called from generated code — keep Java-callable). */
+  /** Static kernel (called from generated code — keep Java-callable).
+    * A null ELEMENT never matches anything — `x = y` is null-valued in
+    * SQL when either side is null, and the composed fold's
+    * `otherwise(0)` turns that into 0 (ArrayData.getLong on a null slot
+    * would silently read 0 and fabricate matches).
+    */
   def compute(a: ArrayData, b: ArrayData): Int = {
     val n = math.min(a.numElements(), b.numElements())
     var i = 0
     var c = 0
     while (i < n) {
-      if (a.getLong(i) == b.getLong(i)) c += 1
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i))
+        c += 1
       i += 1
     }
     c

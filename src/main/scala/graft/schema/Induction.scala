@@ -103,17 +103,34 @@ object Induction {
 
     def hasNonNull(f: String) =
       prof(f).getAs[Long]("n_rows") > prof(f).getAs[Long]("n_null")
+    def parsesNumeric(f: String) = hasNonNull(f) &&
+      Option(prof(f).getAs[java.lang.Double]("numeric_frac")).exists(_ == 1.0)
+    // Only fields the string branch below will actually consult:
+    // fully-numeric strings take the numeric branch, so collecting
+    // their value sets would be a wasted corpus aggregation.
     def isLowCardString(f: String) =
       df.schema(f).dataType == StringType && hasNonNull(f) &&
+        !parsesNumeric(f) &&
         prof(f).getAs[Long]("n_distinct") <= maxAllowed
 
     val lowCard = fields.filter(isLowCardString)
     val allowedSets: Map[String, Seq[String]] =
       if (lowCard.isEmpty) Map.empty
       else {
-        val aggs = lowCard.map(f => collect_set(col(f)).as(f))
+        // slice() re-bounds the driver transfer to maxAllowed + 1 per
+        // field even if the table changed between the profile pass and
+        // this one (the two jobs are separate scans; the profile's
+        // cardinality guard alone must not be the only thing standing
+        // between a concurrent append and a driver OOM). An overflowing
+        // set is discarded below rather than truncated — a clipped
+        // `allowed` rule would reject values the corpus contains.
+        val aggs = lowCard.map(f =>
+          slice(sort_array(collect_set(col(f))), 1, maxAllowed + 1).as(f))
         val r = df.agg(aggs.head, aggs.tail: _*).first()
-        lowCard.map(f => f -> r.getSeq[String](r.fieldIndex(f)).sorted).toMap
+        lowCard.flatMap { f =>
+          val vals = r.getSeq[String](r.fieldIndex(f))
+          if (vals.size > maxAllowed) None else Some(f -> vals.sorted)
+        }.toMap
       }
 
     val specs = fields.map { f =>
@@ -121,13 +138,11 @@ object Induction {
       val nNull = p.getAs[Long]("n_null")
       val frameNumeric =
         df.schema(f).dataType.isInstanceOf[NumericType]
-      val parsesNumeric = hasNonNull(f) &&
-        Option(p.getAs[java.lang.Double]("numeric_frac")).exists(_ == 1.0)
       val base = FieldSpec(
         required = nNull == 0L,
         nullable = nNull > 0L)
       val spec =
-        if (frameNumeric || parsesNumeric)
+        if (frameNumeric || parsesNumeric(f))
           base.copy(
             dtype = if (frameNumeric) None else Some(DoubleType: DataType),
             min = Option(p.getAs[java.lang.Double]("min_num")).map(_.toDouble),

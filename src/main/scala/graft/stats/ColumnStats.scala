@@ -19,11 +19,6 @@ import org.apache.spark.sql.functions._
   */
 object ColumnStats {
 
-  /** Long-format stats: one output row per (group, column) with
-    * `(…groupCols, column, n_rows, n_null, null_rate, n_distinct,
-    * min, max, avg_len)`. min/max are stringified so heterogeneous
-    * column types share one output schema.
-    */
   /** Shared wide→long profiling scaffold: ONE aggregation computing
     * `aggsFor(field)` columns per field (aliases must be unique across
     * fields — prefix them `__<field>__`), then one struct per field via
@@ -47,6 +42,11 @@ object ColumnStats {
       .select(g :+ col("s.*"): _*)
   }
 
+  /** Long-format stats: one output row per (group, column) with
+    * `(…groupCols, column, n_rows, n_null, null_rate, n_distinct,
+    * min, max, avg_len)`. min/max are stringified so heterogeneous
+    * column types share one output schema.
+    */
   def compute(
       df: DataFrame,
       cols: Seq[String],

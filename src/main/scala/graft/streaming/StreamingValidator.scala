@@ -287,39 +287,6 @@ object StreamingValidator {
     * partition instead of duplicating rows (same pattern as
     * `verdictSink`).
     */
-  /** Live table-level gates: evaluate an expectation suite
-    * ([[graft.verdict.Expectations]]) on each micro-batch and land the
-    * verdict rows `(…groups, check, column, observed, lo, hi, pass,
-    * batch_id)` in a metrics table — "did this batch shrink 40%? did a
-    * null rate double?" answered continuously. Same replay-idempotence
-    * contract as [[driftSink]]: partition by `batch_id` with dynamic
-    * overwrite, so a recovered batch rewrites its own partition.
-    */
-  def expectationsSink(
-      stream: DataFrame,
-      expects: Seq[graft.verdict.Expectations.Expect],
-      groupCols: Seq[String],
-      metricsPath: String,
-      checkpointDir: String,
-      trigger: Trigger = Trigger.ProcessingTime("500 milliseconds")
-  ): StreamingQuery =
-    stream.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpointDir)
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.verdict.Expectations
-          .evaluate(batch, expects, groupCols, approxDistinct = true)
-          .withColumn("batch_id", lit(batchId))
-          .write
-          .mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(metricsPath)
-        ()
-      }
-      .start()
-
   def driftSink(
       stream: DataFrame,
       baselinePath: String,
@@ -333,6 +300,46 @@ object StreamingValidator {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.index.IndexStore.driftAgainstBaseline(batch, baselinePath)
+          .withColumn("batch_id", lit(batchId))
+          .write
+          .mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(metricsPath)
+        ()
+      }
+      .start()
+
+  /** Live table-level gates: evaluate an expectation suite
+    * ([[graft.verdict.Expectations]]) on each micro-batch and land the
+    * verdict rows `(…groups, check, column, observed, lo, hi, pass,
+    * batch_id)` in a metrics table — "did this batch shrink 40%? did a
+    * null rate double?" answered continuously. Same replay-idempotence
+    * contract as [[driftSink]]: partition by `batch_id` with dynamic
+    * overwrite, so a recovered batch rewrites its own partition.
+    *
+    * `approxDistinct` defaults to TRUE here (the opposite of the batch
+    * API): a per-batch sink re-evaluates continuously, where the exact
+    * path's Expand amplification is an ongoing tax — but a `distinct`
+    * bound sitting near the sketch's error margin needs `false` to
+    * match batch semantics exactly.
+    */
+  def expectationsSink(
+      stream: DataFrame,
+      expects: Seq[graft.verdict.Expectations.Expect],
+      groupCols: Seq[String],
+      metricsPath: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("500 milliseconds"),
+      approxDistinct: Boolean = true
+  ): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.verdict.Expectations
+          .evaluate(batch, expects, groupCols, approxDistinct)
           .withColumn("batch_id", lit(batchId))
           .write
           .mode(SaveMode.Overwrite)

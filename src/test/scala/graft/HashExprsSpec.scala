@@ -92,5 +92,16 @@ class HashExprsSpec extends SparkSpec {
     val nr = Seq((Some(Seq(1L)), None: Option[Seq[Long]])).toDF("a", "b")
       .select(HashExprs.matchCount($"a", $"b")).collect().head
     assert(nr.isNullAt(0))
+    // null ELEMENTS never match (x = y is null-valued → otherwise(0)),
+    // even null-vs-null — parity with the composed fold, not with
+    // ArrayData.getLong's silent 0
+    val ne = Seq((Seq[java.lang.Long](null, 2L, null), Seq[java.lang.Long](null, 2L, 0L)))
+      .toDF("a", "b")
+      .select(HashExprs.matchCount($"a", $"b").as("native"),
+        aggregate(
+          zip_with($"a", $"b", (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).as("composed"))
+      .collect().head
+    assert(ne.getInt(0) === 1 && ne.getInt(1) === 1)
   }
 }
