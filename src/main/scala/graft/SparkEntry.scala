@@ -89,6 +89,42 @@ object SparkEntry {
       dtype = Some(org.apache.spark.sql.types.LongType))
   )
 
+  /** Normalization-half schema for q_normalize_documents: one of each
+    * normalization action over the documents table — rename, literal
+    * default, computed default (absent column), declared coercion;
+    * purge_unknown drops the undeclared size_tag.
+    */
+  private val normSchema = Schema.of(
+    "doc_id" -> FieldSpec(required = true),
+    "text" -> FieldSpec(normalize = Some(trim(_))),
+    "lang" -> FieldSpec(),
+    // region_hint is derived NULLABLE in the query input (null for
+    // oversized docs), so the literal-default injection fires on real
+    // rows and the oracle replays it
+    "region_hint" -> FieldSpec(default = Some("unknown")),
+    "source" -> FieldSpec(rename = Some("origin")),
+    "n_chars" -> FieldSpec(),
+    "quality_bucket" -> FieldSpec(defaultSetter =
+      Some(when(col("n_chars") > 300, "long").otherwise("short"))))
+
+  /** q_normalize input: documents + a derived NULLABLE column (null
+    * for oversized docs) so the literal-default injection fires on
+    * real rows — the raw table has no nulls at sf0.01.
+    */
+  private def docsForNormalize(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).withColumn("region_hint",
+      when(col("n_chars") <= 500, col("lang")))
+
+  /** Positional `items` schema for q_validate_items_documents: slot 0
+    * source-shaped, slot 1 language allow-list, slot 2 integer-parseable
+    * (size_tag's '~nnn' oversize tag fails it).
+    */
+  private val itemsSchema = Schema.of(
+    "attrs" -> FieldSpec(items = Seq(
+      FieldSpec(regex = Some("src[0-9]{1,2}")),
+      FieldSpec(allowed = Some(Seq("de", "en", "es", "fr"))),
+      FieldSpec(dtype = Some(org.apache.spark.sql.types.LongType)))))
+
   /** SQL body shared by the validate/verdict oracles: per-rule failure
     * predicates + severity, mirroring RuleCompiler semantics exactly.
     */
@@ -470,6 +506,17 @@ object SparkEntry {
           rates = Map("en" -> 0.25, "zh" -> 0.5), defaultRate = 1.0)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_kept"))),
+    "q_sample_joined_documents" -> ((s, dir) =>
+      // The SAME rates forced through stratified()'s broadcast-join
+      // compilation (whenChainMaxStrata = 0) — the high-cardinality
+      // path whose plan is O(1) in |rates| — against the identical
+      // DuckDB oracle as q_sample: both compilations must select the
+      // same rows.
+      graft.sample.Sampling.stratified(docs(s, dir), "doc_id", "lang",
+          rates = Map("en" -> 0.25, "zh" -> 0.5), defaultRate = 1.0,
+          seed = 42L, whenChainMaxStrata = 0)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"))),
 
     "q_reservoir_documents" -> ((s, dir) =>
       // Fixed-size per-group sample (per-domain cap): exactly
@@ -497,7 +544,12 @@ object SparkEntry {
         graft.verdict.Expectations.Expect("null_frac", "text", hi = 0.1),
         graft.verdict.Expectations.Expect("distinct", "source", lo = 10, hi = 30),
         graft.verdict.Expectations.Expect("mean", "n_chars", lo = 100, hi = 1000),
-        graft.verdict.Expectations.Expect("max", "n_chars", hi = 550)),
+        graft.verdict.Expectations.Expect("max", "n_chars", hi = 550),
+        // key uniqueness as ONE declared check (doc_id passes at 1.0;
+        // source is many-rows-per-value, so its row fails — both
+        // outcomes exercised)
+        graft.verdict.Expectations.Expect("unique_frac", "doc_id", lo = 1.0),
+        graft.verdict.Expectations.Expect("unique_frac", "source", lo = 0.9)),
         groupCols = Seq("lang"))),
 
     "q_induced_validate_documents" -> ((s, dir) => {
@@ -523,6 +575,44 @@ object SparkEntry {
       graft.sample.Sampling.temperatureSample(
           docs(s, dir), "doc_id", "lang", alpha = 0.5)
         .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))),
+    "q_temperature_joined_documents" -> ((s, dir) =>
+      // The DISTRIBUTED temperature path (rates derived and broadcast-
+      // joined fully in-plan, zero driver collect — the 10⁵⁺-strata
+      // variant) against the identical oracle: both derivations must
+      // select the same rows.
+      graft.sample.Sampling.temperatureSampleDistributed(
+          docs(s, dir), "doc_id", "lang", alpha = 0.5)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))),
+
+    "q_normalize_documents" -> ((s, dir) =>
+      // Cerberus's NORMALIZATION half end-to-end: rename (source →
+      // origin), purge_unknown (drops the derived size_tag column),
+      // default (null region_hint → 'unknown'), default_setter (absent
+      // quality_bucket column computed from n_chars), declared
+      // normalize coercion (trim text) — the oracle replays the whole
+      // document transform per row.
+      Validator.normalizeDocument(docsForNormalize(s, dir), normSchema,
+        purgeUnknown = true)),
+    "q_normalize_actions_documents" -> ((s, dir) =>
+      // Applied normalization actions as data (E4): one row per
+      // injected default — null-region_hint rows get the literal
+      // default, EVERY row gets the computed quality_bucket (the
+      // column is absent from the frame).
+      Validator.normalizationActions(docsForNormalize(s, dir), normSchema,
+        Seq("doc_id"))),
+
+    "q_validate_items_documents" -> ((s, dir) => {
+      // Positional `items` rules (tuple-shaped lists): a 3-slot attrs
+      // tuple [source, lang, size_tag] — docs on the doc_id%29 slice
+      // get a truncated 2-slot tuple (length violation on the parent,
+      // value = actual size); full tuples check slot 0 against the
+      // source regex, slot 1 against the lang allow-list, slot 2
+      // against integer-parseability.
+      val d = docs(s, dir).withColumn("attrs",
+        when(col("doc_id") % 29 === 0, array(col("source"), col("lang")))
+          .otherwise(array(col("source"), col("lang"), col("size_tag"))))
+      Validator.violations(d, itemsSchema, Seq("doc_id"))
+    }),
 
     "q_budget_documents" -> ((s, dir) => {
       // Quality-ranked trim to a global token budget: keep the maximal
@@ -648,7 +738,13 @@ object SparkEntry {
       // q_multimodal_meta's distinct-blob count).
       Multimodal.decodeImageMeta(mediaTable(s))
         .select(col("media_id"), col("width"), col("height"),
-          col("channels"), col("size_bytes")))
+          col("channels"), col("size_bytes"))),
+    "q_multimodal_frames" -> ((s, _) =>
+      // Frame-sampling generator (the second media kind's decode
+      // path): video rows explode into (frame_idx, frame_ts_ms) rows;
+      // the stub frame count is plain modular arithmetic so the oracle
+      // replays the WHOLE generator, not just the timestamp math.
+      Multimodal.sampleFrames(mediaTable(s), everyMs = 40))
   )
 
   /** Deterministic synthetic media table, materialized ONCE to a fixed
@@ -1281,6 +1377,52 @@ object SparkEntry {
         |WHERE b < (CASE lang WHEN 'en' THEN 250000 WHEN 'zh' THEN 500000
         |           ELSE 1000000 END)
         |GROUP BY lang""".stripMargin,
+    // Identical semantics (and oracle) on the broadcast-join rate path.
+    "q_sample_joined_documents" ->
+      """SELECT lang, count(*) AS n_kept FROM (
+        | SELECT lang,
+        |  CAST('0x' || substring(md5(coalesce(CAST(doc_id AS VARCHAR), '__NULL_KEY__') || ':42'), 1, 8) AS UBIGINT) % 1000000 AS b
+        | FROM documents)
+        |WHERE b < (CASE lang WHEN 'en' THEN 250000 WHEN 'zh' THEN 500000
+        |           ELSE 1000000 END)
+        |GROUP BY lang""".stripMargin,
+
+    "q_normalize_documents" ->
+      """SELECT doc_id, trim(text) AS text, lang,
+        | CASE WHEN n_chars <= 500 THEN lang ELSE 'unknown' END AS region_hint,
+        | source AS origin, n_chars,
+        | CASE WHEN n_chars > 300 THEN 'long' ELSE 'short' END AS quality_bucket
+        |FROM documents""".stripMargin,
+    "q_normalize_actions_documents" ->
+      """SELECT doc_id, 'region_hint' AS field, 'default' AS action,
+        | 'unknown' AS value
+        |FROM documents WHERE NOT coalesce(n_chars <= 500, FALSE)
+        |UNION ALL
+        |SELECT doc_id, 'quality_bucket' AS field, 'default' AS action,
+        | CASE WHEN n_chars > 300 THEN 'long' ELSE 'short' END AS value
+        |FROM documents""".stripMargin,
+
+    "q_validate_items_documents" ->
+      s"""SELECT doc_id, 'attrs' AS field, 'items' AS rule, '2' AS value,
+        | 'error' AS severity
+        |FROM documents WHERE coalesce(doc_id % 29 = 0, FALSE)
+        |UNION ALL
+        |SELECT doc_id, 'attrs[0]' AS field, 'items' AS rule, source AS value,
+        | 'error' AS severity
+        |FROM documents WHERE NOT coalesce(doc_id % 29 = 0, FALSE)
+        | AND source IS NOT NULL
+        | AND NOT regexp_full_match(source, 'src[0-9]{1,2}')
+        |UNION ALL
+        |SELECT doc_id, 'attrs[1]' AS field, 'items' AS rule, lang AS value,
+        | 'error' AS severity
+        |FROM documents WHERE NOT coalesce(doc_id % 29 = 0, FALSE)
+        | AND lang IS NOT NULL AND lang NOT IN ('de','en','es','fr')
+        |UNION ALL
+        |SELECT doc_id, 'attrs[2]' AS field, 'items' AS rule,
+        | size_tag AS value, 'error' AS severity
+        |FROM $docsXSql WHERE NOT coalesce(doc_id % 29 = 0, FALSE)
+        | AND size_tag IS NOT NULL
+        | AND TRY_CAST(size_tag AS BIGINT) IS NULL""".stripMargin,
 
     "q_reservoir_documents" ->
       """SELECT lang, doc_id FROM (
@@ -1298,7 +1440,9 @@ object SparkEntry {
         |  avg(CASE WHEN text IS NULL THEN 1.0 ELSE 0.0 END) AS nf,
         |  CAST(count(DISTINCT source) AS DOUBLE) AS nd,
         |  avg(CAST(n_chars AS DOUBLE)) AS mean_nc,
-        |  max(CAST(n_chars AS DOUBLE)) AS max_nc
+        |  max(CAST(n_chars AS DOUBLE)) AS max_nc,
+        |  count(DISTINCT doc_id) / CAST(count(*) AS DOUBLE) AS uf_id,
+        |  count(DISTINCT source) / CAST(count(*) AS DOUBLE) AS uf_src
         | FROM documents GROUP BY lang)
         |SELECT lang, 'row_count' AS "check", '' AS "column", n AS observed,
         | 50.0 AS lo, CAST('inf' AS DOUBLE) AS hi, n >= 50.0 AS pass FROM g
@@ -1313,7 +1457,13 @@ object SparkEntry {
         | mean_nc >= 100.0 AND mean_nc <= 1000.0 FROM g
         |UNION ALL
         |SELECT lang, 'max', 'n_chars', max_nc, CAST('-inf' AS DOUBLE), 550.0,
-        | max_nc <= 550.0 FROM g""".stripMargin,
+        | max_nc <= 550.0 FROM g
+        |UNION ALL
+        |SELECT lang, 'unique_frac', 'doc_id', uf_id, 1.0,
+        | CAST('inf' AS DOUBLE), uf_id >= 1.0 FROM g
+        |UNION ALL
+        |SELECT lang, 'unique_frac', 'source', uf_src, 0.9,
+        | CAST('inf' AS DOUBLE), uf_src >= 0.9 FROM g""".stripMargin,
 
     "q_profile_documents" -> Seq("doc_id", "text", "lang", "source", "n_chars")
       .map { f =>
@@ -1333,6 +1483,20 @@ object SparkEntry {
       }.mkString("\nUNION ALL\n"),
 
     "q_temperature_documents" ->
+      """WITH counts AS (SELECT lang, count(*) AS n FROM documents
+        |               WHERE lang IS NOT NULL GROUP BY 1),
+        |thr AS (SELECT lang,
+        |  round(pow(CAST((SELECT min(n) FROM counts) AS DOUBLE) / n, 0.5)
+        |        * 1000000) AS t
+        | FROM counts)
+        |SELECT d.lang, count(*) AS n_kept
+        |FROM documents d LEFT JOIN thr USING (lang)
+        |WHERE CAST('0x' || substring(md5(coalesce(CAST(d.doc_id AS VARCHAR), '__NULL_KEY__') || ':42'), 1, 8) AS UBIGINT) % 1000000
+        |      < coalesce(t, 1000000)
+        |GROUP BY d.lang""".stripMargin,
+    // Identical semantics (and oracle) with the rates derived fully
+    // in-plan and broadcast-joined (temperatureSampleDistributed).
+    "q_temperature_joined_documents" ->
       """WITH counts AS (SELECT lang, count(*) AS n FROM documents
         |               WHERE lang IS NOT NULL GROUP BY 1),
         |thr AS (SELECT lang,
@@ -1469,6 +1633,14 @@ object SparkEntry {
          | CAST(16 + (CAST('0x' || substring(hex(bytes), 3, 2) AS INT) % 128) * 8 AS INT) AS height,
          | CAST(CASE WHEN kind = 'image' THEN 3 ELSE 1 END AS INT) AS channels,
          | CAST(octet_length(bytes) AS BIGINT) AS size_bytes
-         |FROM read_parquet('$mediaPath/*.parquet')""".stripMargin
+         |FROM read_parquet('$mediaPath/*.parquet')""".stripMargin,
+    // Full generator replay: per-video frame count (media_id % 8 + 1)
+    // and 40 ms spacing, one row per (video, frame index).
+    "q_multimodal_frames" ->
+      s"""SELECT media_id, CAST(g AS INT) AS frame_idx,
+         | CAST(g * 40 AS INT) AS frame_ts_ms
+         |FROM (SELECT media_id, unnest(range(0, media_id % 8 + 1)) AS g
+         |      FROM read_parquet('$mediaPath/*.parquet')
+         |      WHERE kind = 'video')""".stripMargin
   )
 }

@@ -109,13 +109,39 @@ object RuleCompiler {
         rule("valuesrules", nonNull && !forall(map_values(v), x => passes(vr, x))))
     ).flatten
 
+    // Positional `items` (tuple-shaped lists, public Cerberus): a length
+    // gate on the parent (value = the ACTUAL size — Cerberus's "length
+    // of list should be N"), then per-position value-only sub-specs on
+    // indexed paths, emitted only when the length matches (Cerberus
+    // skips positional checks on mismatched length). A null element
+    // passes — `passes` embeds per-rule non-null guards.
+    val itemsRules =
+      if (spec.items.isEmpty) Nil
+      else {
+        val sev = spec.ruleSeverity.getOrElse("items", spec.severity)
+        val lenOk = size(v) === spec.items.length
+        val lenRule = CompiledRule(name, "items", nonNull && !lenOk,
+          size(v).cast(StringType), sev)
+        val posRules = spec.items.zipWithIndex.map { case (sub, i) =>
+          // try_element_at, not element_at: the lenOk guard short-
+          // circuits logically, but codegen subexpression elimination
+          // may hoist the element access past it — under ANSI mode a
+          // plain element_at on a too-short array would then throw.
+          val el = try_element_at(v, lit(i + 1))
+          CompiledRule(s"$name[$i]", "items",
+            nonNull && lenOk && !passes(sub, el),
+            el.cast(StringType), sev)
+        }
+        lenRule +: posRules
+      }
+
     val customRules = spec.checks.map { c =>
       CompiledRule(name, c.rule, nonNull && !coalesce(c.pass(v), lit(false)),
         vStr, spec.ruleSeverity.getOrElse(c.rule, c.severity))
     }
 
     nullRules ++ valueRules ++ depRule ++ exclRule ++ combinatorRules ++
-      mapRules ++ customRules
+      mapRules ++ itemsRules ++ customRules
   }
 
   /** The simple VALUE rules of a spec as (rule, fails) pairs over an

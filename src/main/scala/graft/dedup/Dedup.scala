@@ -515,9 +515,20 @@ object Dedup {
     * `src` + min-aggregate on `id`); `localCheckpoint` after every
     * round truncates lineage — the naive self-referencing plan embeds
     * the previous round TWICE (union + join), i.e. 2^rounds analysis
-    * cost without truncation. Driver traffic is one emptiness check
-    * per round. Throws after `maxIters` non-converged rounds rather
-    * than silently returning a partial clustering.
+    * cost without truncation. The PREVIOUS round's checkpointed blocks
+    * are unpersisted as soon as the next round materializes (executor
+    * storage holds at most two rounds of labels, not one per round);
+    * the final round's blocks are registered with `scope` and freed on
+    * its release. Driver traffic is one emptiness check per round.
+    * Throws after `maxIters` non-converged rounds rather than silently
+    * returning a partial clustering.
+    *
+    * Caveat: `localCheckpoint` (unlike a reliable checkpoint) stores
+    * the truncated lineage in EXECUTOR storage — losing an executor
+    * mid-job loses blocks the truncated plan cannot recompute and fails
+    * the job. That is the right trade for an iterative job this short
+    * (rounds ≈ graph diameter); a run that must survive executor loss
+    * should swap in `checkpoint()` against a reliable store.
     */
   def connectedComponents(
       pairs: DataFrame,
@@ -557,16 +568,35 @@ object Dedup {
           min(when(col("__self"), col("component"))).as("__prev"))
         .localCheckpoint(true)
       done = next.where(col("component") =!= col("__prev")).isEmpty
+      // `next` is materialized (eager checkpoint + the emptiness scan),
+      // so the previous round's blocks are dead — free them now instead
+      // of letting executor storage grow by one label set per round.
+      freeLocalCheckpoint(labels)
       labels = next.select(col("id"), col("component"))
       iter += 1
-      if (!done && iter >= maxIters)
+      if (!done && iter >= maxIters) {
+        freeLocalCheckpoint(labels) // don't strand the last round's blocks
         throw new IllegalStateException(
           s"connectedComponents did not converge within maxIters=$maxIters " +
             "rounds — the pair graph has a path longer than maxIters " +
             "(degenerate chain-shaped input); raise maxIters explicitly")
+      }
     }
-    labels
+    val result = labels
+    scope.onRelease(_ => freeLocalCheckpoint(result))
+    result
   }
+
+  /** Unpersist the RDD blocks behind a `localCheckpoint`ed frame.
+    * `Dataset.unpersist` cannot reach them — localCheckpoint persists
+    * the physical RDD directly (as a `LogicalRDD` leaf), outside the
+    * cache manager — so the iterative loop frees each superseded round
+    * through the RDD handle. No-op on frames with no LogicalRDD leaf.
+    */
+  private def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach(_.unpersist(false))
 
   /** [[connectedComponents]] plus the cluster size: `(id, component,
     * n_members)` — one window over `component` (tiny frame: only nodes
@@ -650,7 +680,11 @@ object Dedup {
     a.join(b, Seq("chunk", "cval"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hamming(col("sh_a"), col("sh_b")).as("hamming_dist"))
-      .distinct()
+      // Hamming filter BEFORE the distinct — same result, but the
+      // distinct's exchange carries only the surviving pairs instead of
+      // every bucket collision (the same prune-then-distinct ordering
+      // the MinHash miner uses for its est-Jaccard filter).
       .where(col("hamming_dist") <= maxHamming)
+      .distinct()
   }
 }

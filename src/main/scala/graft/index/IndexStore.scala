@@ -30,6 +30,16 @@ import org.apache.spark.sql.functions._
   *
   * At 100 TB this is the difference between one corpus-wide
   * shingle/centroid pass per QUERY BATCH and one per INDEX REBUILD.
+  *
+  * CONCURRENCY: every `append…` path is SINGLE-WRITER. The row-append
+  * indices read the stored ids and then append — idempotent for
+  * serialized retries, but two concurrent appenders (or a batch append
+  * racing the streaming `minHashIndexSink` on the same path) can both
+  * pass the anti-join and land duplicate index rows; `appendBloom`'s
+  * read-merge-swap can likewise lose one writer's keys. Serialize
+  * writers per index path (the [[graft.resume.Checkpoint]] manifest,
+  * a scheduler lock, or one owning streaming query); concurrent
+  * READERS are always safe.
   */
 object IndexStore {
 
@@ -97,11 +107,18 @@ object IndexStore {
   }
 
   /** Incrementally fold a new dim slice into a stored Bloom index:
-    * deserialize, `putLong` each new key hash, rewrite. Bloom filters
-    * absorb re-inserted keys idempotently, so ingest retries are safe;
-    * the fpp guarantee holds while total distinct keys stay within the
-    * stored `expectedItems` (checked nowhere — the filter degrades
-    * gracefully to a higher fpp, never to false negatives).
+    * deserialize, merge the new keys' partial filter, rewrite. Bloom
+    * filters absorb re-inserted keys idempotently, so ingest retries
+    * are safe; the fpp guarantee holds while total distinct keys stay
+    * within the stored `expectedItems` (checked nowhere — the filter
+    * degrades gracefully to a higher fpp, never to false negatives).
+    *
+    * Crash-safe: unlike the row-append indices (whose old rows are
+    * never touched), this REPLACES the only copy of the filter — so the
+    * merged filter is written to a sibling temp dir and rename-swapped
+    * into place (the [[graft.sources.TableIO.compact]] protocol): a
+    * crash at any step leaves a complete filter under `data`,
+    * `data.swap-tmp`, or `data.swap-old`, never a half-written one.
     */
   def appendBloom(dim: DataFrame, path: String): Unit = {
     val spark = dim.sparkSession
@@ -116,8 +133,21 @@ object IndexStore {
       .stat.bloomFilter("__kh", meta.expectedItems, meta.fpp)
     bf.mergeInPlace(partial)
     import spark.implicits._
+    val live = new org.apache.hadoop.fs.Path(s"$path/data")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(live.getParent, "data.swap-tmp")
+    val old = new org.apache.hadoop.fs.Path(live.getParent, "data.swap-old")
+    require(!fs.exists(old),
+      s"$old exists — a previous appendBloom crashed mid-swap; recover " +
+        "or remove it before appending again")
     Seq(Tuple1(graft.functions.BloomExprs.serialize(bf))).toDF("bloom")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/data")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    require(fs.rename(live, old), s"appendBloom aside-rename failed for $live")
+    if (!fs.rename(tmp, live)) {
+      fs.rename(old, live) // restore rather than leave the index missing
+      throw new IllegalStateException(s"appendBloom swap-rename failed for $live")
+    }
+    fs.delete(old, true)
   }
 
   // -------------------------------------------------------------------

@@ -83,12 +83,16 @@ object Multimodal {
       }
   }
 
-  /** STUB frame sampler: emits `n_frames` (deterministic fake: byte 2
-    * mod 8, at 40 ms spacing) rows per video. Pure generator — explode
-    * of a computed sequence, no state.
+  /** STUB frame sampler: emits `n_frames` (deterministic fake:
+    * `media_id % 8 + 1` — plain modular arithmetic so the DuckDB oracle
+    * replays the whole generator, not just the timestamp math) rows per
+    * video at `everyMs` spacing. Pure generator — explode of a computed
+    * sequence, no state. A real decoder replaces only the `nFrames`
+    * derivation (duration / everyMs); the generator shape is the
+    * load-bearing part.
     */
   def sampleFrames(media: DataFrame, everyMs: Int = 40): DataFrame = {
-    val nFrames = (pmod(xxhash64(col("media_id")), lit(8L)) + 1).cast("int")
+    val nFrames = (pmod(col("media_id"), lit(8L)) + 1).cast("int")
     media
       .where(col("kind") === "video")
       .select(col("media_id"),

@@ -51,9 +51,29 @@ object Sampling {
     df.where(bucket(col(keyCol), seed) < lit(threshold(rate)))
   }
 
+  /** Strata count above which [[stratified]] compiles the rate table as
+    * a broadcast-joined frame instead of [[stratifiedKeep]]'s literal
+    * when-chain. Below it the when-chain wins (no join node, pure
+    * codegen'd filter); above it the when-chain is a plan-size /
+    * Janino-compile failure class — each stratum adds a nested CASE arm,
+    * so a high-cardinality group column (domains, source buckets:
+    * 10⁴–10⁶ strata) grows the plan linearly until codegen breaks (the
+    * same per-literal problem the IVF centroid expression was built to
+    * avoid). The join path's plan is O(1) in |rates| (pinned by
+    * PlanSpec): the rate table is DATA on a broadcast side, not plan
+    * literals.
+    */
+  val WhenChainMaxStrata = 128
+
   /** Stratified sampling: per-stratum keep rates (e.g. downsample
     * over-represented languages), `defaultRate` for unlisted strata.
-    * One codegen'd filter — no shuffle, no per-stratum pass.
+    * Identical selection on either path (pinned by SamplingSpec):
+    * ≤ `whenChainMaxStrata` strata compile to one codegen'd filter (no
+    * shuffle, no join); above that the rates become a broadcast-joined
+    * `(stratum, threshold)` frame — still no corpus shuffle (broadcast
+    * hash join + filter), and the plan stays O(1) in |rates|. Rows
+    * whose stratum is NULL or unlisted keep `defaultRate` on both
+    * paths.
     */
   def stratified(
       df: DataFrame,
@@ -61,8 +81,22 @@ object Sampling {
       strataCol: String,
       rates: Map[String, Double],
       defaultRate: Double = 1.0,
-      seed: Long = 42L): DataFrame =
-    df.where(stratifiedKeep(keyCol, strataCol, rates, defaultRate, seed))
+      seed: Long = 42L,
+      whenChainMaxStrata: Int = WhenChainMaxStrata): DataFrame =
+    if (rates.size <= whenChainMaxStrata)
+      df.where(stratifiedKeep(keyCol, strataCol, rates, defaultRate, seed))
+    else {
+      requireRates(rates, defaultRate)
+      val spark = df.sparkSession
+      import spark.implicits._
+      val thr = broadcast(
+        rates.toSeq.map { case (stratum, r) => (stratum, threshold(r)) }
+          .toDF("__stratum", "__thr"))
+      df.join(thr, df(strataCol).cast("string") === thr("__stratum"), "left")
+        .where(bucket(col(keyCol), seed) <
+          coalesce(col("__thr"), lit(threshold(defaultRate))))
+        .drop("__stratum", "__thr")
+    }
 
   /** Exactly `min(k, |group|)` rows per group — the fixed-SIZE
     * counterpart to [[stratified]]'s fixed-RATE sampling (per-domain
@@ -103,10 +137,11 @@ object Sampling {
     * selection stays a pure (key, seed) function.
     *
     * Scale: the rate derivation aggregates O(groups) counts to the
-    * driver (bounded, same class as the IVF centroid collect); the
-    * selection itself is [[stratified]]'s codegen'd filter — the corpus
-    * is scanned twice but never shuffled. Rows whose group is NULL are
-    * kept (rate 1.0) — they are not a stratum to rebalance.
+    * driver — bounded by GROUP cardinality, not data, but still a
+    * driver-memory ceiling when the group column is high-cardinality
+    * (10⁵⁺ domains). Use [[temperatureSampleDistributed]] there: same
+    * selection, zero driver collect. Rows whose group is NULL are kept
+    * (rate 1.0) — they are not a stratum to rebalance.
     */
   def temperatureRates(
       df: DataFrame,
@@ -141,6 +176,39 @@ object Sampling {
       seed: Long = 42L): DataFrame =
     stratified(df, keyCol, groupCol, temperatureRates(df, groupCol, alpha),
       defaultRate = 1.0, seed = seed)
+
+  /** [[temperatureSample]] with the rate table kept DISTRIBUTED — the
+    * high-cardinality-group path (per-domain rebalancing, 10⁵⁺ strata):
+    * group counts, the global minimum, the `(n_min/n_g)^(1-alpha)`
+    * rates, and their integer thresholds are all derived in-plan and
+    * broadcast-joined back; nothing is ever collected to the driver.
+    * Threshold arithmetic matches [[threshold]] exactly (`round`, both
+    * HALF_UP for non-negative rates), so the selected row set is
+    * IDENTICAL to [[temperatureSample]]'s at any group cardinality
+    * (pinned by SamplingSpec). Cost: one O(groups) aggregate + a 1-row
+    * cross join for the global min (the documented 1-row summary
+    * pattern) + a broadcast join — the corpus still never shuffles.
+    */
+  def temperatureSampleDistributed(
+      df: DataFrame,
+      keyCol: String,
+      groupCol: String,
+      alpha: Double,
+      seed: Long = 42L): DataFrame = {
+    require(alpha >= 0d && alpha <= 1d, s"alpha must be in [0,1], got $alpha")
+    val counts = df.where(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("__g"))
+      .agg(count(lit(1)).as("__n"))
+    val nMin = counts.agg(min(col("__n")).as("__nmin"))
+    val thr = broadcast(
+      counts.crossJoin(nMin)
+        .select(col("__g"),
+          round(pow(col("__nmin").cast("double") / col("__n"), 1d - alpha)
+            * Buckets).cast("long").as("__thr")))
+    df.join(thr, df(groupCol).cast("string") === thr("__g"), "left")
+      .where(bucket(col(keyCol), seed) < coalesce(col("__thr"), lit(Buckets)))
+      .drop("__g", "__thr")
+  }
 
   /** Quality-ranked corpus trimming to a global token budget: order
     * rows by (`scoreCol` DESC, md5 bucket, key) and keep the maximal
@@ -235,7 +303,11 @@ object Sampling {
 
   /** The stratified keep/drop DECISION as a boolean column — reusable
     * as a flag inside one-pass multi-stage aggregations (e.g. the
-    * pipeline funnel), not just as a filter.
+    * pipeline funnel), not just as a filter. This is the LITERAL
+    * compilation: one when-arm per stratum, so it is for SMALL rate
+    * maps only (languages, media kinds — the documented domain; see
+    * [[WhenChainMaxStrata]]). High-cardinality rate tables must go
+    * through [[stratified]], whose join path a Column cannot express.
     */
   def stratifiedKeep(
       keyCol: String,
@@ -243,12 +315,15 @@ object Sampling {
       rates: Map[String, Double],
       defaultRate: Double = 1.0,
       seed: Long = 42L): Column = {
-    (rates.values.toSeq :+ defaultRate).foreach(r =>
-      require(r >= 0d && r <= 1d, s"rates must be in [0,1], got $r"))
+    requireRates(rates, defaultRate)
     val rateCol = rates.foldLeft(lit(threshold(defaultRate))) {
       case (acc, (stratum, r)) =>
         when(col(strataCol) === stratum, lit(threshold(r))).otherwise(acc)
     }
     bucket(col(keyCol), seed) < rateCol
   }
+
+  private def requireRates(rates: Map[String, Double], defaultRate: Double): Unit =
+    (rates.values.toSeq :+ defaultRate).foreach(r =>
+      require(r >= 0d && r <= 1d, s"rates must be in [0,1], got $r"))
 }

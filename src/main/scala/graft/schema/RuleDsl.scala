@@ -39,6 +39,31 @@ import org.apache.spark.sql.types.DataType
   *     predicates, not reporters.
   *   - `keysrules` / `valuesrules` (map columns): every key / value of
   *     the map must pass a value-only sub-spec.
+  *   - `items` (array columns, public-Cerberus positional rules): the
+  *     array must have EXACTLY `items.length` elements (length mismatch
+  *     reports ONE violation on the parent field, value = the actual
+  *     size — Cerberus's "length of list should be N"); when the length
+  *     matches, element i is checked against the value-only sub-spec
+  *     `items(i)`, reporting on the INDEXED path `field[i]` (V13-style).
+  *     A null ELEMENT passes (null handling is not a positional value
+  *     rule's job — wrap the array field itself in `required` /
+  *     `contains` rules for presence semantics). This is the
+  *     tuple-shaped-list complement of the UNIFORM per-element
+  *     validation in `Validator.elementViolations`.
+  *
+  * Normalization half (public-Cerberus's other half — applied by
+  * `Validator.normalizeDocument`, NOT by the rule compiler; rules see
+  * the frame as given plus their per-rule `normalize` pre-step):
+  *   - `default`: a literal injected where the column is NULL (or the
+  *     whole column is absent from the frame) — the frame analog of
+  *     Cerberus's default-for-missing-key;
+  *   - `defaultSetter`: a computed default (any Column expression over
+  *     the OTHER columns of the frame — Cerberus `default_setter`
+  *     receives the document); `defaultSetter` wins when both are set;
+  *   - `rename`: the column arrives under THIS spec's field name and is
+  *     renamed to `rename.get` (Cerberus `rename` — spec keyed by the
+  *     old name); the spec's remaining normalization (defaults,
+  *     `normalize`) applies to the renamed column.
   */
 final case class FieldSpec(
     dtype: Option[DataType] = None,
@@ -61,10 +86,14 @@ final case class FieldSpec(
     noneOf: Seq[FieldSpec] = Nil,
     keysRules: Option[FieldSpec] = None,
     valuesRules: Option[FieldSpec] = None,
+    items: Seq[FieldSpec] = Nil,
     normalize: Option[Column => Column] = None,
     checks: Seq[CustomCheck] = Nil,
     severity: String = Severity.Error,
-    ruleSeverity: Map[String, String] = Map.empty
+    ruleSeverity: Map[String, String] = Map.empty,
+    default: Option[Any] = None,
+    defaultSetter: Option[Column] = None,
+    rename: Option[String] = None
 ) {
   (severity +: ruleSeverity.values.toSeq).foreach(Severity.requireKnown)
   // Keys too: a typo'd rule name would otherwise silently leave the rule
@@ -75,7 +104,7 @@ final case class FieldSpec(
     "regex", "allowed", "forbidden", "min", "max", "minlength",
     "maxlength", "dependencies", "contains", "excludes", "anyof",
     "allof", "oneof", "noneof", "keysrules",
-    "valuesrules") ++ checks.map(_.rule)
+    "valuesrules", "items") ++ checks.map(_.rule)
   ruleSeverity.keys.foreach { k =>
     require(knownRules.contains(k),
       s"ruleSeverity key '$k' names no rule of this field " +
@@ -86,22 +115,27 @@ final case class FieldSpec(
   // rejected here (E1: misconfig fails at construction, not mid-job).
   (anyOf.map(("anyof", _)) ++ allOf.map(("allof", _)) ++
     oneOf.map(("oneof", _)) ++ noneOf.map(("noneof", _)) ++
-    keysRules.map(("keysrules", _)) ++ valuesRules.map(("valuesrules", _)))
+    keysRules.map(("keysrules", _)) ++ valuesRules.map(("valuesrules", _)) ++
+    items.map(("items", _)))
     .foreach { case (rule, sub) =>
       require(sub.valueOnly,
         s"$rule sub-spec must be value-only: no required/nullable=false/" +
           "dependencies/excludes/nested combinators/keysrules/valuesrules/" +
-          "normalize/checks/ruleSeverity")
+          "items/normalize/defaults/rename/checks/ruleSeverity")
     }
+  rename.foreach(to =>
+    require(to.nonEmpty && !to.contains('.'),
+      s"rename target '$to' must be a non-empty top-level column name"))
 
   /** True when this spec carries only simple value rules — the shape
-    * combinator and keysrules/valuesrules sub-specs must have.
+    * combinator and keysrules/valuesrules/items sub-specs must have.
     */
   def valueOnly: Boolean =
     !required && nullable && dependencies.isEmpty && excludes.isEmpty &&
       anyOf.isEmpty && allOf.isEmpty && oneOf.isEmpty && noneOf.isEmpty &&
-      keysRules.isEmpty && valuesRules.isEmpty && normalize.isEmpty &&
-      checks.isEmpty && ruleSeverity.isEmpty
+      keysRules.isEmpty && valuesRules.isEmpty && items.isEmpty &&
+      normalize.isEmpty && checks.isEmpty && ruleSeverity.isEmpty &&
+      default.isEmpty && defaultSetter.isEmpty && rename.isEmpty
 }
 
 /** Violation severity channels — closed, ordered vocabulary mirroring

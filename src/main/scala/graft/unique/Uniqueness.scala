@@ -62,9 +62,21 @@ object Uniqueness {
   /** Two-phase salted count per (possibly hot) key — e.g. rows per
     * `repo` under a 20%-hot-repo skew. `nSalts` should approximate the
     * shuffle parallelism.
+    *
+    * The salt is a hash of the FULL row (key + payload columns), not a
+    * partition-layout artifact like `monotonically_increasing_id()` —
+    * so the salt assignment, and with it every intermediate frame, is
+    * identical across reruns and repartitionings (the engine-wide
+    * determinism rule; pinned by UniquenessSpec). A hot KEY still
+    * spreads over `nSalts` reducers because its payloads differ;
+    * byte-identical duplicate rows share a salt, bounding that residual
+    * skew by the duplicate multiplicity — if full-row duplicates are
+    * the dominant mass, the right tool is [[summary]]/[[dedup]], not a
+    * salted count.
     */
   def groupCountsSalted(df: DataFrame, key: String, nSalts: Int): DataFrame =
-    df.withColumn("__salt", pmod(xxhash64(monotonically_increasing_id()), lit(nSalts.toLong)))
+    df.withColumn("__salt",
+        pmod(xxhash64(df.columns.map(col): _*), lit(nSalts.toLong)))
       .groupBy(col(key), col("__salt"))
       .agg(count(lit(1)).as("__partial"))
       .groupBy(col(key))

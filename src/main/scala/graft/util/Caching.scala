@@ -22,6 +22,8 @@ import org.apache.spark.storage.StorageLevel
   */
 final class CacheScope {
   private val frames = new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
+  private val hooks =
+    new java.util.concurrent.ConcurrentLinkedQueue[Boolean => Unit]()
 
   /** Persist (MEMORY_AND_DISK) and register for later release. */
   def cache[T](ds: Dataset[T]): Dataset[T] = {
@@ -30,18 +32,40 @@ final class CacheScope {
     ds
   }
 
-  /** Unpersist every registered frame. Safe to call repeatedly; the
-    * scope is reusable afterwards.
+  /** Register extra cleanup to run on [[release]] — for storage that
+    * `Dataset.unpersist` cannot reach (e.g. `localCheckpoint` persists
+    * the physical RDD directly, outside the cache manager; the
+    * connected-components loop registers its final round's blocks
+    * here). The hook receives release's `blocking` flag and runs at
+    * most once.
+    */
+  def onRelease(f: Boolean => Unit): Unit = hooks.add(f)
+
+  /** Unpersist every registered frame and run every registered hook.
+    * Safe to call repeatedly; the scope is reusable afterwards.
     */
   def release(blocking: Boolean = false): Unit = {
     var d = frames.poll()
     while (d != null) { d.unpersist(blocking); d = frames.poll() }
+    var h = hooks.poll()
+    while (h != null) { h(blocking); h = hooks.poll() }
   }
 }
 
 object CacheScope {
+  // Every default scope ever handed out, so a cleanup pass from ANY
+  // thread can reach scopes confined to pool threads it does not own.
+  // Entries are tiny (an empty scope is two empty queues) and releasing
+  // empties them, so keeping released scopes registered is harmless.
+  private val liveDefaults = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[CacheScope, java.lang.Boolean]())
+
   private val threadShared: ThreadLocal[CacheScope] =
-    ThreadLocal.withInitial(() => new CacheScope)
+    ThreadLocal.withInitial { () =>
+      val s = new CacheScope
+      liveDefaults.add(s)
+      s
+    }
 
   /** Default scope for callers that don't manage one. THREAD-CONFINED:
     * each thread gets its own default scope, so two concurrent callers
@@ -51,10 +75,25 @@ object CacheScope {
     * Nothing releases it automatically — sessions running several
     * mining jobs should either pass their own scope or call
     * `CacheScope.shared.release()` between jobs, FROM THE SAME THREAD
-    * that ran the job (Bench/Verify do, per query).
+    * that ran the job (Bench/Verify do, per query). Work dispatched to
+    * pool threads (streaming `foreachBatch`, executor pools) leaves
+    * per-thread scopes the dispatcher cannot reach — sweep those with
+    * [[releaseAll]].
     */
   def shared: CacheScope = threadShared.get()
 
+  /** Release EVERY thread's default scope — the cross-thread cleanup
+    * for work that cached via [[shared]] on threads the caller does not
+    * control (e.g. a streaming foreachBatch pool). Explicit caller-owned
+    * scopes are not touched. Safe to run concurrently with active jobs
+    * only if those jobs own their scopes (releasing a default scope a
+    * pool thread is still lazily consuming would trigger silent
+    * recompute) — intended for between-jobs / shutdown sweeps.
+    */
+  def releaseAll(blocking: Boolean = false): Unit = {
+    val it = liveDefaults.iterator()
+    while (it.hasNext) it.next().release(blocking)
+  }
 
   /** Convenience: run `f` with a fresh scope, releasing on exit. Only
     * usable when `f` fully materializes what it needs (an action runs

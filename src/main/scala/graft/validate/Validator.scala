@@ -45,6 +45,117 @@ object Validator {
   def clean(df: DataFrame, schema: Schema): DataFrame =
     annotate(df, schema).where(col("n_violations") === 0).drop("n_violations")
 
+  /** Cerberus's NORMALIZATION half — transform the document before (or
+    * instead of) validating it (the reference's own import flow
+    * normalizes before committing, app/.../TotpUtil.kt:26 →
+    * rust/src/lib.rs:185; public Cerberus `normalized()`). Applied in
+    * Cerberus's order, each step a pure projection (zero shuffle, one
+    * codegen stage over the scan):
+    *
+    *   1. `rename`: each spec's column is renamed old → `rename.get`;
+    *      the target name must not collide with an existing column
+    *      (misconfig rejected up front, E1). Specs whose column is
+    *      absent rename nothing.
+    *   2. `purge_unknown` (when `purgeUnknown`): drop every top-level
+    *      frame column no (post-rename) schema field declares and
+    *      `allowUnknown` doesn't exempt — the transforming counterpart
+    *      of [[schemaViolations]]'s reporting.
+    *   3. defaults: where the (post-rename) column is NULL it becomes
+    *      `defaultSetter` (a Column over the other columns — evaluated
+    *      per row) or `lit(default)`; a column ABSENT from the frame is
+    *      created wholesale from the default. Specs are applied in
+    *      schema order, so a later `defaultSetter` sees earlier
+    *      fields already defaulted (deterministic, documented order).
+    *   4. declared `normalize` coercions are baked into the columns.
+    *
+    * Normalizers should be idempotent (trim/lower/canonicalize are):
+    * [[violations]] re-applies `normalize` at rule time, so
+    * normalize-then-validate equals validate exactly when
+    * `f(f(x)) = f(x)`. Defaults/renames/purges target TOP-LEVEL
+    * columns (dotted paths are struct surgery, not column ops) —
+    * rejected up front.
+    */
+  def normalizeDocument(
+      df: DataFrame,
+      schema: Schema,
+      purgeUnknown: Boolean = false,
+      allowUnknown: Set[String] = Set.empty): DataFrame = {
+    schema.fields.foreach { case (name, spec) =>
+      if (spec.rename.isDefined || spec.default.isDefined || spec.defaultSetter.isDefined)
+        require(!name.contains('.'),
+          s"normalization (rename/default) targets top-level columns; '$name' is a dotted path")
+    }
+    val renamed = schema.fields.foldLeft(df) { case (acc, (name, spec)) =>
+      spec.rename.fold(acc) { to =>
+        require(!acc.columns.contains(to),
+          s"rename target '$to' already exists in the frame")
+        if (acc.columns.contains(name)) acc.withColumnRenamed(name, to) else acc
+      }
+    }
+    // Post-rename field names — the names steps 2-4 see.
+    val eff = schema.fields.map { case (n, s) => (s.rename.getOrElse(n), s) }
+    val declaredRoots = eff.map(_._1.split('.').head).toSet
+    val purged =
+      if (!purgeUnknown) renamed
+      else renamed.select(renamed.columns
+        .filter(c => declaredRoots.contains(c) || allowUnknown.contains(c))
+        .map(col): _*)
+    val defaulted = eff.foldLeft(purged) { case (acc, (name, spec)) =>
+      defaultExpr(spec).fold(acc) { d =>
+        if (acc.columns.contains(name)) acc.withColumn(name, coalesce(col(name), d))
+        else acc.withColumn(name, d)
+      }
+    }
+    eff.foldLeft(defaulted) { case (acc, (name, spec)) =>
+      spec.normalize
+        .filter(_ => acc.columns.contains(name) && !name.contains('.'))
+        .fold(acc)(f => acc.withColumn(name, f(col(name))))
+    }
+  }
+
+  private def defaultExpr(spec: graft.schema.FieldSpec): Option[Column] =
+    spec.defaultSetter.orElse(spec.default.map(lit))
+
+  /** The per-row record of what [[normalizeDocument]]'s DEFAULT step
+    * would inject — applied actions as data, the E4 rule applied to
+    * normalization: `(…keyCols, field, action="default", value)`, one
+    * row per injected value (rows whose column was non-null produce
+    * nothing; a column absent from the frame defaults on EVERY row).
+    * Fields/keys are post-rename names — run this on the same input as
+    * [[normalizeDocument]]. Rename and purge are schema-level actions,
+    * visible in the transformed frame's own column set rather than
+    * per-row rows.
+    */
+  def normalizationActions(
+      df: DataFrame,
+      schema: Schema,
+      keyCols: Seq[String]): DataFrame = {
+    val renamed = schema.fields.foldLeft(df) { case (acc, (name, spec)) =>
+      spec.rename.fold(acc) { to =>
+        if (acc.columns.contains(name)) acc.withColumnRenamed(name, to) else acc
+      }
+    }
+    val eff = schema.fields.map { case (n, s) => (s.rename.getOrElse(n), s) }
+    val keys: Seq[Column] = keyCols.map(col)
+    val actionStructs = eff.flatMap { case (name, spec) =>
+      defaultExpr(spec).map { d =>
+        val wouldFill =
+          if (renamed.columns.contains(name)) col(name).isNull else lit(true)
+        when(wouldFill, struct(
+          lit(name).as("field"),
+          lit("default").as("action"),
+          d.cast(org.apache.spark.sql.types.StringType).as("value")))
+      }
+    }
+    if (actionStructs.isEmpty)
+      return renamed.select(keys :+ lit("").as("field") :+
+        lit("").as("action") :+ lit("").as("value"): _*).limit(0)
+    renamed
+      .select(keys :+ explode(array(actionStructs: _*)).as("a"): _*)
+      .where(col("a").isNotNull)
+      .select(keys :+ col("a.field") :+ col("a.action") :+ col("a.value"): _*)
+  }
+
   /** Structural (table-level) schema check — the Cerberus
     * `allow_unknown` analog plus its converse. Row-level rules cannot
     * even compile against a frame missing a declared column (Catalyst

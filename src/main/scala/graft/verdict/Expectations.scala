@@ -34,6 +34,12 @@ object Expectations {
     *   - `null_frac`  — fraction of NULL values in `column` (0 on an
     *     empty group: no rows, no nulls)
     *   - `distinct`   — distinct non-null values in `column`
+    *   - `unique_frac` — distinct non-null values / rows in `column` —
+    *     "the key stopped being unique" as ONE declared check
+    *     (`Expect("unique_frac", "doc_id", lo = 1.0)`); a column with
+    *     nulls can never reach 1.0 (nulls are not a key value). NULL —
+    *     and so failing — on an empty group (0/0): no rows is "no
+    *     signal", not "unique".
     *   - `mean` / `min` / `max` — over `column` cast to double
     *
     * Unbounded sides default to ±∞.
@@ -52,19 +58,29 @@ object Expectations {
 
   object Expect {
     val kinds: Set[String] =
-      Set("row_count", "null_frac", "distinct", "mean", "min", "max")
+      Set("row_count", "null_frac", "distinct", "unique_frac",
+        "mean", "min", "max")
   }
 
-  private def observe(e: Expect, approxDistinct: Boolean): Column = e.check match {
-    case "row_count" => count(lit(1)).cast("double")
-    case "null_frac" =>
-      coalesce(avg(when(col(e.column).isNull, 1d).otherwise(0d)), lit(0d))
-    case "distinct" =>
+  private def observe(e: Expect, approxDistinct: Boolean): Column = {
+    def nDistinct: Column =
       (if (approxDistinct) approx_count_distinct(col(e.column))
        else countDistinct(col(e.column))).cast("double")
-    case "mean" => avg(col(e.column).cast("double"))
-    case "min" => min(col(e.column).cast("double"))
-    case "max" => max(col(e.column).cast("double"))
+    e.check match {
+      case "row_count" => count(lit(1)).cast("double")
+      case "null_frac" =>
+        coalesce(avg(when(col(e.column).isNull, 1d).otherwise(0d)), lit(0d))
+      case "distinct" => nDistinct
+      case "unique_frac" =>
+        // Explicit null on an empty table (never a 0/0 — ANSI mode
+        // would throw mid-job): fails any bounded check, the same
+        // no-signal-must-not-pass rule as an all-null mean.
+        when(count(lit(1)) === 0, lit(null).cast("double"))
+          .otherwise(nDistinct / count(lit(1)).cast("double"))
+      case "mean" => avg(col(e.column).cast("double"))
+      case "min" => min(col(e.column).cast("double"))
+      case "max" => max(col(e.column).cast("double"))
+    }
   }
 
   /** Evaluate every expectation in one aggregation. With `groupCols`,

@@ -222,6 +222,24 @@ class DedupSpec extends SparkSpec {
     assert(sized(1L) === 3L && sized(3L) === 3L && sized(10L) === 2L && sized(7L) === 1L)
   }
 
+  test("connected components: superseded rounds freed in-loop, final round on scope release") {
+    // A path graph forces many rounds; executor storage must hold at
+    // most the live rounds (prior localCheckpoint blocks unpersisted as
+    // the loop advances), and release() must clear the final round too.
+    val chain = (1L to 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    def persisted = spark.sparkContext.getPersistentRDDs.size
+    val before = persisted
+    graft.util.CacheScope.withScope { sc =>
+      val cc = Dedup.connectedComponents(chain, scope = sc)
+      assert(cc.count() === 10)
+      // live storage: the edges cache + at most the final TWO rounds'
+      // checkpoints (next + the just-superseded labels), never one per
+      // round (this graph needs ≥4 rounds)
+      assert(persisted <= before + 3)
+    }
+    assert(persisted === before)
+  }
+
   test("connected components: long chain converges; maxIters guard throws") {
     // A 12-node path graph — worst-case diameter for label propagation.
     val chain = (1L to 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")

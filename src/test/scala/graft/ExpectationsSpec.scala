@@ -80,4 +80,27 @@ class ExpectationsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"))
   }
+
+  test("unique_frac: key uniqueness as one declared check") {
+    val n = docs.count().toDouble
+    val distinctLang = docs.select("lang").distinct().count().toDouble
+    val out = Expectations.evaluate(docs, Seq(
+        Expect("unique_frac", "doc_id", lo = 1.0), // a true key → 1.0
+        Expect("unique_frac", "lang", lo = 0.5) // many rows per lang → fails
+      )).collect().map(r => (r.getAs[String]("column"), r)).toMap
+    assert(out("doc_id").getAs[Double]("observed") === 1.0)
+    assert(out("doc_id").getAs[Boolean]("pass"))
+    assert(math.abs(out("lang").getAs[Double]("observed") - distinctLang / n) < 1e-12)
+    assert(!out("lang").getAs[Boolean]("pass"))
+    // sketch variant: within HLL rsd of exact, same single-pass plan
+    val approx = Expectations.evaluate(docs,
+        Seq(Expect("unique_frac", "doc_id", lo = 0.9)), approxDistinct = true)
+      .first()
+    assert(math.abs(approx.getAs[Double]("observed") - 1.0) < 0.1)
+    // empty table: observed null → bounded check FAILS, never passes
+    val empty = Expectations.evaluate(docs.limit(0),
+      Seq(Expect("unique_frac", "doc_id", lo = 0.0))).first()
+    assert(empty.isNullAt(empty.fieldIndex("observed")))
+    assert(!empty.getAs[Boolean]("pass"))
+  }
 }

@@ -158,6 +158,74 @@ class SamplingSpec extends SparkSpec {
     assert(rep === expect)
   }
 
+  test("stratified: broadcast-join path selects the identical rows as the when-chain") {
+    val rates = Map("en" -> 0.25, "zh" -> 0.5, "de" -> 0.8)
+    val viaChain = Sampling.stratified(docs, "doc_id", "lang", rates,
+        defaultRate = 0.9)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaJoin = Sampling.stratified(docs, "doc_id", "lang", rates,
+        defaultRate = 0.9, seed = 42L, whenChainMaxStrata = 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaJoin === viaChain)
+    // join path keeps the input columns (no leaked join helpers)
+    val out = Sampling.stratified(docs, "doc_id", "lang", rates,
+      defaultRate = 0.9, seed = 42L, whenChainMaxStrata = 0)
+    assert(out.columns.toSeq === docs.columns.toSeq)
+    // null-stratum rows keep the default rate on the join path too
+    val withNull = docs.withColumn("lang",
+      when(col("doc_id") % 3 === 0, col("lang")))
+    val nc = Sampling.stratified(withNull, "doc_id", "lang", rates,
+        defaultRate = 1.0, seed = 42L, whenChainMaxStrata = 0)
+      .where(col("lang").isNull).count()
+    assert(nc === withNull.where(col("lang").isNull).count())
+    // misconfigured rates rejected on the join path as well
+    assertThrows[IllegalArgumentException] {
+      Sampling.stratified(docs, "doc_id", "lang", Map("en" -> 1.5),
+        whenChainMaxStrata = 0)
+    }
+  }
+
+  test("stratified: 100k-strata rate table runs via the join path (bounded plan)") {
+    // The when-chain equivalent of this rate table would be a 100k-arm
+    // nested CASE — a Janino/plan-size failure class. The join path
+    // compiles it as broadcast DATA. Selection is checked against an
+    // INDEPENDENT arithmetic derivation of the same thresholds.
+    val n = 100000
+    val rates = (0 until n).map(i => s"s$i" -> ((i % 10) / 10.0)).toMap
+    val df = spark.range(20000).select(col("id"),
+      concat(lit("s"), pmod(col("id"), lit(997L))).as("g"))
+    val got = Sampling.stratified(df, "id", "g", rates, defaultRate = 1.0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // rate of stratum s_i is (i%10)/10 with i = id%997 — same IEEE
+    // double, same round-half-up threshold, derived without the map
+    val thr = round((pmod(pmod(col("id"), lit(997L)), lit(10L)).cast("double")
+      / 10.0) * 1000000).cast("long")
+    val expect = df.where(Sampling.bucket(col("id"), 42L) < thr)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got === expect)
+    assert(got.nonEmpty && got.size < 20000)
+  }
+
+  test("temperatureSampleDistributed: identical selection to the collected-rates path") {
+    Seq(0.0, 0.3, 1.0).foreach { alpha =>
+      val a = Sampling.temperatureSample(docs, "doc_id", "lang", alpha)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val b = Sampling.temperatureSampleDistributed(docs, "doc_id", "lang", alpha)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(a === b, s"alpha=$alpha")
+    }
+    // null-group rows are kept on both paths
+    val withNull = docs.withColumn("lang",
+      when(col("doc_id") % 5 =!= 0, col("lang")))
+    val kept = Sampling.temperatureSampleDistributed(
+        withNull, "doc_id", "lang", alpha = 0.0)
+      .where(col("lang").isNull).count()
+    assert(kept === withNull.where(col("lang").isNull).count())
+    // no leaked helper columns
+    assert(Sampling.temperatureSampleDistributed(docs, "doc_id", "lang", 0.5)
+      .columns.toSeq === docs.columns.toSeq)
+  }
+
   test("selectByTokenBudget: edge cases — zero budget, all-fits, null score/weight") {
     val scored = docs.withColumn("score", col("n_chars").cast("double"))
     assert(Sampling.selectByTokenBudget(

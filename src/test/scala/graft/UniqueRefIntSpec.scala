@@ -35,6 +35,27 @@ class UniqueRefIntSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("salt assignment is deterministic across repartitionings (engine determinism rule)") {
+    // The salt is a full-row hash, not a partition-layout artifact: the
+    // per-(key, salt) PARTIALS — not just the final counts — must be
+    // identical at any partitioning, so reruns and resumes see the
+    // same intermediate frames everywhere.
+    def partials(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("__salt",
+          pmod(xxhash64(df.columns.map(col): _*), lit(16L)))
+        .groupBy(col("repo"), col("__salt")).count()
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(partials(files) === partials(files.repartition(7)))
+    // and the hot key actually spreads over many salts
+    val hot = files.groupBy("repo").count().orderBy(col("count").desc)
+      .first().getString(0)
+    val spread = files.where(col("repo") === hot)
+      .withColumn("__salt",
+        pmod(xxhash64(files.columns.map(col): _*), lit(16L)))
+      .select("__salt").distinct().count()
+    assert(spread >= 12) // 16 salts, hot repo lands in nearly all
+  }
+
   test("RI orphans: rows missing from dim are flagged; null keys are not orphans") {
     val dim = SynthGen.dimCommits(spark, SynthGen.Config(rows = 6000L))
     val orphans = RefIntegrity.orphans(files, dim, Seq("repo", "commit"))

@@ -401,4 +401,112 @@ class ValidatorSpec extends SparkSpec {
       .select("rule", "severity").as[(String, String)].collect().toSet
     assert(v === Set(("anyof", "warning")))
   }
+
+  test("items: length gate on the parent, positional sub-specs on indexed paths") {
+    // Tuple-shaped lists (public Cerberus `items`): slot 0 lowercase
+    // word, slot 1 integer-parseable.
+    val df = Seq(
+      (1L, Seq("alice", "42")), // clean
+      (2L, Seq("alice")), // wrong length → ONE parent violation only
+      (3L, Seq("BOB", "42")), // slot 0 fails regex
+      (4L, Seq("carol", "x7")), // slot 1 fails type
+      (5L, Seq(null.asInstanceOf[String], "1")) // null element passes
+    ).toDF("id", "pair")
+    val schema = Schema.of("pair" -> FieldSpec(items = Seq(
+      FieldSpec(regex = Some("[a-z]+")),
+      FieldSpec(dtype = Some(org.apache.spark.sql.types.LongType)))))
+    val v = Validator.violations(df, schema, Seq("id"))
+      .select($"id", $"field", $"rule", $"value")
+      .as[(Long, String, String, String)].collect().toSet
+    assert(v === Set(
+      (2L, "pair", "items", "1"), // value = the ACTUAL size
+      (3L, "pair[0]", "items", "BOB"),
+      (4L, "pair[1]", "items", "x7")))
+    // null ARRAY: no items rows (presence is required/nullable's job)
+    val withNull = Seq((9L, null.asInstanceOf[Seq[String]])).toDF("id", "pair")
+    assert(Validator.violations(withNull, schema, Seq("id")).count() === 0)
+    // items sub-specs must be value-only (E1 misconfig at construction)
+    assertThrows[IllegalArgumentException] {
+      FieldSpec(items = Seq(FieldSpec(required = true)))
+    }
+    // items severity rides the parent ruleSeverity override
+    val warnSchema = Schema.of("pair" -> FieldSpec(
+      items = Seq(FieldSpec(regex = Some("[a-z]+")), FieldSpec()),
+      ruleSeverity = Map("items" -> graft.schema.Severity.Warning)))
+    val sev = Validator.violations(df, warnSchema, Seq("id"))
+      .select("severity").as[String].collect().toSet
+    assert(sev === Set("warning"))
+  }
+
+  test("normalizeDocument: rename → purge_unknown → defaults → coercion, in order") {
+    val df = Seq(
+      (1L, "  Alice  ", null.asInstanceOf[String], "x"),
+      (2L, "bob", "en", "y"),
+      (3L, null.asInstanceOf[String], null.asInstanceOf[String], "z")
+    ).toDF("id", "raw_name", "lang", "junk")
+    val schema = Schema.of(
+      "id" -> FieldSpec(required = true),
+      "raw_name" -> FieldSpec(rename = Some("name"), normalize = Some(trim(_))),
+      "lang" -> FieldSpec(default = Some("und")),
+      // absent column computed from the (renamed, defaulted) frame
+      "tag" -> FieldSpec(defaultSetter = Some(concat(col("lang"), lit(":t")))))
+    val out = Validator.normalizeDocument(df, schema, purgeUnknown = true)
+    assert(out.columns.toSet === Set("id", "name", "lang", "tag")) // junk purged
+    val got = out.select($"id", $"name", $"lang", $"tag")
+      .as[(Long, String, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ("Alice", "und", "und:t"))
+    assert(got(2L) === ("bob", "en", "en:t"))
+    assert(got(3L) === (null, "und", "und:t"))
+    // purgeUnknown=false keeps undeclared columns
+    assert(Validator.normalizeDocument(df, schema).columns.contains("junk"))
+    // rename collision is a misconfiguration, rejected up front
+    assertThrows[IllegalArgumentException] {
+      Validator.normalizeDocument(df,
+        Schema.of("raw_name" -> FieldSpec(rename = Some("lang"))))
+    }
+  }
+
+  test("normalizeDocument round-trip: normalized frame validates clean") {
+    val df = Seq(
+      (1L, null.asInstanceOf[String], " padded "),
+      (2L, "en", "ok")
+    ).toDF("id", "lang", "text")
+    val schema = Schema.of(
+      "id" -> FieldSpec(required = true),
+      "lang" -> FieldSpec(required = true,
+        allowed = Some(Seq("en", "und")), default = Some("und")),
+      "text" -> FieldSpec(required = true,
+        regex = Some("\\S(.*\\S)?"), normalize = Some(trim(_))))
+    // raw frame violates (null lang; padded text fails the anchored
+    // regex only pre-trim — normalize applies at rule time, so only
+    // the null fails)
+    assert(Validator.violations(df, schema, Seq("id")).count() === 1)
+    // normalize → validate = clean (idempotent normalizers)
+    val norm = Validator.normalizeDocument(df, schema)
+    assert(Validator.violations(norm, schema, Seq("id")).count() === 0)
+  }
+
+  test("normalizationActions: one row per injected default, absent column on every row") {
+    val df = Seq(
+      (1L, null.asInstanceOf[String]),
+      (2L, "en")
+    ).toDF("id", "lang")
+    val schema = Schema.of(
+      "id" -> FieldSpec(required = true),
+      "lang" -> FieldSpec(default = Some("und")),
+      "tag" -> FieldSpec(default = Some("t0")))
+    val acts = Validator.normalizationActions(df, schema, Seq("id"))
+      .select($"id", $"field", $"action", $"value")
+      .as[(Long, String, String, String)].collect().toSet
+    assert(acts === Set(
+      (1L, "lang", "default", "und"),
+      (1L, "tag", "default", "t0"),
+      (2L, "tag", "default", "t0")))
+    // no defaults declared → empty frame with the contract schema
+    val none = Validator.normalizationActions(df,
+      Schema.of("id" -> FieldSpec(required = true)), Seq("id"))
+    assert(none.count() === 0)
+    assert(none.columns.toSeq === Seq("id", "field", "action", "value"))
+  }
 }
