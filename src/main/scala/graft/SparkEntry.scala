@@ -1387,16 +1387,19 @@ object SparkEntry {
         |           ELSE 1000000 END)
         |GROUP BY lang""".stripMargin,
 
+    // region_hint is NULL (→ defaulted) when the doc is oversized OR
+    // lang itself is null — coalesce over the full derivation, not the
+    // sf0.01 data quirk of lang having no nulls.
     "q_normalize_documents" ->
       """SELECT doc_id, trim(text) AS text, lang,
-        | CASE WHEN n_chars <= 500 THEN lang ELSE 'unknown' END AS region_hint,
+        | coalesce(CASE WHEN n_chars <= 500 THEN lang END, 'unknown') AS region_hint,
         | source AS origin, n_chars,
         | CASE WHEN n_chars > 300 THEN 'long' ELSE 'short' END AS quality_bucket
         |FROM documents""".stripMargin,
     "q_normalize_actions_documents" ->
       """SELECT doc_id, 'region_hint' AS field, 'default' AS action,
         | 'unknown' AS value
-        |FROM documents WHERE NOT coalesce(n_chars <= 500, FALSE)
+        |FROM documents WHERE (CASE WHEN n_chars <= 500 THEN lang END) IS NULL
         |UNION ALL
         |SELECT doc_id, 'quality_bucket' AS field, 'default' AS action,
         | CASE WHEN n_chars > 300 THEN 'long' ELSE 'short' END AS value

@@ -119,9 +119,26 @@ object IndexStore {
     * into place (the [[graft.sources.TableIO.compact]] protocol): a
     * crash at any step leaves a complete filter under `data`,
     * `data.swap-tmp`, or `data.swap-old`, never a half-written one.
+    * Both crash windows self-heal BEFORE any work runs (the crashed
+    * call never committed, so its caller retries it): a leftover
+    * `data.swap-old` WITHOUT a live `data` is renamed back (crash
+    * between the two swap renames); one alongside a live `data` is a
+    * stale aside from a crash after the swap, deleted. A leftover
+    * `data.swap-tmp` is an uncommitted merge, deleted either way.
+    * Single-writer, like every append path (object scaladoc).
     */
   def appendBloom(dim: DataFrame, path: String): Unit = {
     val spark = dim.sparkSession
+    val live = new org.apache.hadoop.fs.Path(s"$path/data")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(live.getParent, "data.swap-tmp")
+    val old = new org.apache.hadoop.fs.Path(live.getParent, "data.swap-old")
+    if (fs.exists(old)) {
+      if (fs.exists(live)) fs.delete(old, true) // stale aside, post-swap crash
+      else require(fs.rename(old, live), // mid-swap crash: restore the filter
+        s"appendBloom recovery rename $old -> $live failed")
+    }
+    fs.delete(tmp, true) // an uncommitted merge from a crashed writer
     val (bytes, meta) = loadBloom(spark, path)
     val keys = meta.keys.split(",").toSeq
     val bf = graft.functions.BloomExprs.deserialize(bytes)
@@ -133,13 +150,6 @@ object IndexStore {
       .stat.bloomFilter("__kh", meta.expectedItems, meta.fpp)
     bf.mergeInPlace(partial)
     import spark.implicits._
-    val live = new org.apache.hadoop.fs.Path(s"$path/data")
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(live.getParent, "data.swap-tmp")
-    val old = new org.apache.hadoop.fs.Path(live.getParent, "data.swap-old")
-    require(!fs.exists(old),
-      s"$old exists — a previous appendBloom crashed mid-swap; recover " +
-        "or remove it before appending again")
     Seq(Tuple1(graft.functions.BloomExprs.serialize(bf))).toDF("bloom")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     require(fs.rename(live, old), s"appendBloom aside-rename failed for $live")

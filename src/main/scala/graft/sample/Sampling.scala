@@ -308,6 +308,14 @@ object Sampling {
     * maps only (languages, media kinds — the documented domain; see
     * [[WhenChainMaxStrata]]). High-cardinality rate tables must go
     * through [[stratified]], whose join path a Column cannot express.
+    *
+    * Strata match on the column value's CANONICAL STRING form (the
+    * column is cast to string, compared to the rate key verbatim) —
+    * the same comparison the join path uses, so the two compilations
+    * can never select different rows. An int stratum 5 matches the
+    * key "5", not "5.0"; numeric-coercion matching would hold only on
+    * this path and silently flip when a growing rate map crosses the
+    * join threshold.
     */
   def stratifiedKeep(
       keyCol: String,
@@ -318,7 +326,8 @@ object Sampling {
     requireRates(rates, defaultRate)
     val rateCol = rates.foldLeft(lit(threshold(defaultRate))) {
       case (acc, (stratum, r)) =>
-        when(col(strataCol) === stratum, lit(threshold(r))).otherwise(acc)
+        when(col(strataCol).cast("string") === lit(stratum), lit(threshold(r)))
+          .otherwise(acc)
     }
     bucket(col(keyCol), seed) < rateCol
   }

@@ -63,22 +63,39 @@ object Uniqueness {
     * `repo` under a 20%-hot-repo skew. `nSalts` should approximate the
     * shuffle parallelism.
     *
-    * The salt is a hash of the FULL row (key + payload columns), not a
-    * partition-layout artifact like `monotonically_increasing_id()` —
-    * so the salt assignment, and with it every intermediate frame, is
-    * identical across reruns and repartitionings (the engine-wide
-    * determinism rule; pinned by UniquenessSpec). A hot KEY still
-    * spreads over `nSalts` reducers because its payloads differ;
-    * byte-identical duplicate rows share a salt, bounding that residual
-    * skew by the duplicate multiplicity — if full-row duplicates are
-    * the dominant mass, the right tool is [[summary]]/[[dedup]], not a
-    * salted count.
+    * The salt is a hash of the full row's HASHABLE columns (key +
+    * payload), not a partition-layout artifact like
+    * `monotonically_increasing_id()` — so the salt assignment, and with
+    * it every intermediate frame, is identical across reruns and
+    * repartitionings (the engine-wide determinism rule; pinned by
+    * UniquenessSpec). Columns whose type contains a map are excluded
+    * (Spark's hash functions reject MapType — map element order is
+    * undefined); the remaining columns must include at least one
+    * besides the key or the salt would be constant per group. A hot
+    * KEY still spreads over `nSalts` reducers because its payloads
+    * differ; rows identical on every hashable column share a salt,
+    * bounding that residual skew by the duplicate multiplicity — if
+    * full-row duplicates are the dominant mass, the right tool is
+    * [[summary]]/[[dedup]], not a salted count.
     */
-  def groupCountsSalted(df: DataFrame, key: String, nSalts: Int): DataFrame =
+  def groupCountsSalted(df: DataFrame, key: String, nSalts: Int): DataFrame = {
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val hashableNames = df.schema.fields
+      .filter(f => hashable(f.dataType)).map(_.name).toSeq
+    require(hashableNames.exists(_ != key),
+      s"groupCountsSalted needs at least one hashable non-key column to " +
+        s"derive a deterministic salt; frame has none besides '$key'")
     df.withColumn("__salt",
-        pmod(xxhash64(df.columns.map(col): _*), lit(nSalts.toLong)))
+        pmod(xxhash64(hashableNames.map(col): _*), lit(nSalts.toLong)))
       .groupBy(col(key), col("__salt"))
       .agg(count(lit(1)).as("__partial"))
       .groupBy(col(key))
       .agg(sum(col("__partial")).as("n"))
+  }
 }

@@ -80,20 +80,9 @@ object Validator {
       schema: Schema,
       purgeUnknown: Boolean = false,
       allowUnknown: Set[String] = Set.empty): DataFrame = {
-    schema.fields.foreach { case (name, spec) =>
-      if (spec.rename.isDefined || spec.default.isDefined || spec.defaultSetter.isDefined)
-        require(!name.contains('.'),
-          s"normalization (rename/default) targets top-level columns; '$name' is a dotted path")
-    }
-    val renamed = schema.fields.foldLeft(df) { case (acc, (name, spec)) =>
-      spec.rename.fold(acc) { to =>
-        require(!acc.columns.contains(to),
-          s"rename target '$to' already exists in the frame")
-        if (acc.columns.contains(name)) acc.withColumnRenamed(name, to) else acc
-      }
-    }
+    val renamed = applyRenames(df, schema)
     // Post-rename field names — the names steps 2-4 see.
-    val eff = schema.fields.map { case (n, s) => (s.rename.getOrElse(n), s) }
+    val eff = effectiveFields(schema)
     val declaredRoots = eff.map(_._1.split('.').head).toSet
     val purged =
       if (!purgeUnknown) renamed
@@ -113,44 +102,85 @@ object Validator {
     }
   }
 
+  /** Step 1 of normalization, shared by [[normalizeDocument]] and
+    * [[normalizationActions]] so collision semantics cannot drift: a
+    * rename happens only when the SOURCE column is present (so
+    * normalizing an already-normalized frame is a no-op, not an error
+    * — re-runs are idempotent), and a rename that WOULD occur into an
+    * existing column is a misconfiguration rejected up front (E1): it
+    * would leave two columns with one name. Dotted normalization
+    * targets are rejected here too (struct surgery, not column ops).
+    */
+  private def applyRenames(df: DataFrame, schema: Schema): DataFrame = {
+    schema.fields.foreach { case (name, spec) =>
+      if (spec.rename.isDefined || spec.default.isDefined || spec.defaultSetter.isDefined)
+        require(!name.contains('.'),
+          s"normalization (rename/default) targets top-level columns; '$name' is a dotted path")
+    }
+    schema.fields.foldLeft(df) { case (acc, (name, spec)) =>
+      spec.rename.fold(acc) { to =>
+        if (!acc.columns.contains(name)) acc
+        else {
+          require(!acc.columns.contains(to),
+            s"rename '$name' -> '$to': target already exists in the frame")
+          acc.withColumnRenamed(name, to)
+        }
+      }
+    }
+  }
+
+  private def effectiveFields(schema: Schema): Seq[(String, graft.schema.FieldSpec)] =
+    schema.fields.map { case (n, s) => (s.rename.getOrElse(n), s) }
+
   private def defaultExpr(spec: graft.schema.FieldSpec): Option[Column] =
     spec.defaultSetter.orElse(spec.default.map(lit))
 
   /** The per-row record of what [[normalizeDocument]]'s DEFAULT step
-    * would inject — applied actions as data, the E4 rule applied to
+    * injects — applied actions as data, the E4 rule applied to
     * normalization: `(…keyCols, field, action="default", value)`, one
     * row per injected value (rows whose column was non-null produce
     * nothing; a column absent from the frame defaults on EVERY row).
-    * Fields/keys are post-rename names — run this on the same input as
-    * [[normalizeDocument]]. Rename and purge are schema-level actions,
-    * visible in the transformed frame's own column set rather than
-    * per-row rows.
+    * `value` is the value [[normalizeDocument]] ACTUALLY injects:
+    * defaults are folded progressively in schema order here exactly as
+    * there, so a `defaultSetter` that references an earlier-defaulted
+    * field records the post-default value, not a raw-frame re-
+    * evaluation. Fields/keys are post-rename names — run this on the
+    * same input as [[normalizeDocument]]. Rename and purge are
+    * schema-level actions, visible in the transformed frame's own
+    * column set rather than per-row rows.
     */
   def normalizationActions(
       df: DataFrame,
       schema: Schema,
       keyCols: Seq[String]): DataFrame = {
-    val renamed = schema.fields.foldLeft(df) { case (acc, (name, spec)) =>
-      spec.rename.fold(acc) { to =>
-        if (acc.columns.contains(name)) acc.withColumnRenamed(name, to) else acc
-      }
-    }
-    val eff = schema.fields.map { case (n, s) => (s.rename.getOrElse(n), s) }
+    val renamed = applyRenames(df, schema)
     val keys: Seq[Column] = keyCols.map(col)
-    val actionStructs = eff.flatMap { case (name, spec) =>
-      defaultExpr(spec).map { d =>
-        val wouldFill =
-          if (renamed.columns.contains(name)) col(name).isNull else lit(true)
-        when(wouldFill, struct(
-          lit(name).as("field"),
-          lit("default").as("action"),
-          d.cast(org.apache.spark.sql.types.StringType).as("value")))
+    // Fold defaults exactly like normalizeDocument, tagging each
+    // defaulted field with a was-null flag BEFORE its fill so the
+    // action row can carry the filled (post-default) value.
+    var frame = renamed
+    val flagged = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    effectiveFields(schema).zipWithIndex.foreach { case ((name, spec), i) =>
+      defaultExpr(spec).foreach { d =>
+        val flag = s"__defaulted_$i"
+        frame =
+          if (frame.columns.contains(name))
+            frame.withColumn(flag, col(name).isNull)
+              .withColumn(name, coalesce(col(name), d))
+          else frame.withColumn(flag, lit(true)).withColumn(name, d)
+        flagged += ((flag, name))
       }
     }
-    if (actionStructs.isEmpty)
+    if (flagged.isEmpty)
       return renamed.select(keys :+ lit("").as("field") :+
         lit("").as("action") :+ lit("").as("value"): _*).limit(0)
-    renamed
+    val actionStructs = flagged.toSeq.map { case (flag, name) =>
+      when(col(flag), struct(
+        lit(name).as("field"),
+        lit("default").as("action"),
+        col(name).cast(org.apache.spark.sql.types.StringType).as("value")))
+    }
+    frame
       .select(keys :+ explode(array(actionStructs: _*)).as("a"): _*)
       .where(col("a").isNotNull)
       .select(keys :+ col("a.field") :+ col("a.action") :+ col("a.value"): _*)

@@ -185,6 +185,27 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("stratified: non-string strata match on canonical string form, identically on both paths") {
+    // An int stratum 5 matches the rate key "5" — and NOT "5.0" — on
+    // the when-chain exactly like on the join path, so a rate map
+    // growing past the join threshold can never flip the selection.
+    val df = spark.range(1000).select(col("id"),
+      pmod(col("id"), lit(7L)).as("g"))
+    def kept(rates: Map[String, Double], maxChain: Int): Set[Long] =
+      Sampling.stratified(df, "id", "g", rates, defaultRate = 1.0,
+          seed = 42L, whenChainMaxStrata = maxChain)
+        .select("id").collect().map(_.getLong(0)).toSet
+    val canonical = Map("5" -> 0.0) // drop stratum 5 entirely
+    val chainSel = kept(canonical, Int.MaxValue)
+    val joinSel = kept(canonical, 0)
+    assert(chainSel === joinSel)
+    assert(df.where(pmod(col("id"), lit(7L)) === 5).count() ===
+      1000L - chainSel.size) // exactly stratum 5 dropped
+    // a non-canonical key matches nothing on either path
+    assert(kept(Map("5.0" -> 0.0), Int.MaxValue).size === 1000)
+    assert(kept(Map("5.0" -> 0.0), 0).size === 1000)
+  }
+
   test("stratified: 100k-strata rate table runs via the join path (bounded plan)") {
     // The when-chain equivalent of this rate table would be a 100k-arm
     // nested CASE — a Janino/plan-size failure class. The join path

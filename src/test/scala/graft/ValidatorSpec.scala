@@ -509,4 +509,42 @@ class ValidatorSpec extends SparkSpec {
     assert(none.count() === 0)
     assert(none.columns.toSeq === Seq("id", "field", "action", "value"))
   }
+
+  test("normalizationActions records the value actually injected (progressive defaults)") {
+    // A defaultSetter referencing an EARLIER-defaulted field must record
+    // the post-default value normalizeDocument injects, not a raw-frame
+    // re-evaluation (which would be null here).
+    val df = Seq(
+      (1L, null.asInstanceOf[String]),
+      (2L, "en")
+    ).toDF("id", "lang")
+    val schema = Schema.of(
+      "id" -> FieldSpec(required = true),
+      "lang" -> FieldSpec(default = Some("und")),
+      "tag" -> FieldSpec(defaultSetter = Some(concat(col("lang"), lit(":t")))))
+    val acts = Validator.normalizationActions(df, schema, Seq("id"))
+      .select($"id", $"field", $"value")
+      .as[(Long, String, String)].collect().toSet
+    assert(acts === Set(
+      (1L, "lang", "und"),
+      (1L, "tag", "und:t"), // sees the defaulted lang, like the transform
+      (2L, "tag", "en:t")))
+    // and it matches the transform itself, row for row
+    val out = Validator.normalizeDocument(df, schema)
+      .select($"id", $"tag").as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "und:t", 2L -> "en:t"))
+  }
+
+  test("normalizeDocument is idempotent: re-normalizing a normalized frame is a no-op") {
+    val df = Seq((1L, " x ", null.asInstanceOf[String])).toDF("id", "raw_name", "lang")
+    val schema = Schema.of(
+      "id" -> FieldSpec(required = true),
+      "raw_name" -> FieldSpec(rename = Some("name"), normalize = Some(trim(_))),
+      "lang" -> FieldSpec(default = Some("und")))
+    val once = Validator.normalizeDocument(df, schema, purgeUnknown = true)
+    // second pass: rename source is absent → no-op, not a collision error
+    val twice = Validator.normalizeDocument(once, schema, purgeUnknown = true)
+    assert(twice.columns.toSeq === once.columns.toSeq)
+    assert(twice.exceptAll(once).isEmpty && once.exceptAll(twice).isEmpty)
+  }
 }
