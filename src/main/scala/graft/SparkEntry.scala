@@ -549,8 +549,18 @@ object SparkEntry {
         // source is many-rows-per-value, so its row fails — both
         // outcomes exercised)
         graft.verdict.Expectations.Expect("unique_frac", "doc_id", lo = 1.0),
-        graft.verdict.Expectations.Expect("unique_frac", "source", lo = 0.9)),
+        graft.verdict.Expectations.Expect("unique_frac", "source", lo = 0.9),
+        // exact interpolated median (GE-style quantile bound) — DuckDB
+        // quantile_cont replays Spark's percentile exactly
+        graft.verdict.Expectations.Expect("quantile", "n_chars",
+          lo = 100, hi = 400, q = 0.5)),
         groupCols = Seq("lang"))),
+
+    "q_rule_breakdown_documents" -> ((s, dir) =>
+      // Per-(field, rule, severity) triage rollup: which rules fired,
+      // how often, over how many distinct values, with the value range
+      // as examples — O(rules) output rows at any corpus size.
+      graft.verdict.Verdict.ruleBreakdown(docs(s, dir), docSchema)),
 
     "q_induced_validate_documents" -> ((s, dir) => {
       // Schema inference end-to-end: induce the strictest schema from
@@ -1445,7 +1455,8 @@ object SparkEntry {
         |  avg(CAST(n_chars AS DOUBLE)) AS mean_nc,
         |  max(CAST(n_chars AS DOUBLE)) AS max_nc,
         |  count(DISTINCT doc_id) / CAST(count(*) AS DOUBLE) AS uf_id,
-        |  count(DISTINCT source) / CAST(count(*) AS DOUBLE) AS uf_src
+        |  count(DISTINCT source) / CAST(count(*) AS DOUBLE) AS uf_src,
+        |  quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med_nc
         | FROM documents GROUP BY lang)
         |SELECT lang, 'row_count' AS "check", '' AS "column", n AS observed,
         | 50.0 AS lo, CAST('inf' AS DOUBLE) AS hi, n >= 50.0 AS pass FROM g
@@ -1466,7 +1477,17 @@ object SparkEntry {
         | CAST('inf' AS DOUBLE), uf_id >= 1.0 FROM g
         |UNION ALL
         |SELECT lang, 'unique_frac', 'source', uf_src, 0.9,
-        | CAST('inf' AS DOUBLE), uf_src >= 0.9 FROM g""".stripMargin,
+        | CAST('inf' AS DOUBLE), uf_src >= 0.9 FROM g
+        |UNION ALL
+        |SELECT lang, 'quantile', 'n_chars', med_nc, 100.0, 400.0,
+        | med_nc >= 100.0 AND med_nc <= 400.0 FROM g""".stripMargin,
+
+    "q_rule_breakdown_documents" ->
+      s"""SELECT field, rule, severity, count(*) AS n_violations,
+        | count(DISTINCT value) AS n_distinct_values,
+        | min(value) AS example_min, max(value) AS example_max
+        |FROM ($docViolationsSql)
+        |GROUP BY field, rule, severity""".stripMargin,
 
     "q_profile_documents" -> Seq("doc_id", "text", "lang", "source", "n_chars")
       .map { f =>

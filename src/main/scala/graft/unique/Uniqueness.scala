@@ -70,13 +70,16 @@ object Uniqueness {
     * repartitionings (the engine-wide determinism rule; pinned by
     * UniquenessSpec). Columns whose type contains a map are excluded
     * (Spark's hash functions reject MapType — map element order is
-    * undefined); the remaining columns must include at least one
-    * besides the key or the salt would be constant per group. A hot
-    * KEY still spreads over `nSalts` reducers because its payloads
-    * differ; rows identical on every hashable column share a salt,
-    * bounding that residual skew by the duplicate multiplicity — if
-    * full-row duplicates are the dominant mass, the right tool is
-    * [[summary]]/[[dedup]], not a salted count.
+    * undefined). A hot KEY still spreads over `nSalts` reducers
+    * because its payloads differ; rows identical on every hashable
+    * column share a salt, bounding that residual skew by the duplicate
+    * multiplicity — if full-row duplicates are the dominant mass, the
+    * right tool is [[summary]]/[[dedup]], not a salted count. The
+    * degenerate key-only frame (no hashable payload columns) still
+    * computes CORRECT counts but cannot spread a hot key — its rows
+    * are content-identical, and determinism rules out a layout-derived
+    * salt; such frames don't need a two-phase count anyway (the plain
+    * groupBy they degenerate to is the right plan for them).
     */
   def groupCountsSalted(df: DataFrame, key: String, nSalts: Int): DataFrame = {
     def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
@@ -87,10 +90,10 @@ object Uniqueness {
       case _ => true
     }
     val hashableNames = df.schema.fields
-      .filter(f => hashable(f.dataType)).map(_.name).toSeq
-    require(hashableNames.exists(_ != key),
-      s"groupCountsSalted needs at least one hashable non-key column to " +
-        s"derive a deterministic salt; frame has none besides '$key'")
+      .filter(f => hashable(f.dataType)).map(_.name).toSeq match {
+      case Seq() => Seq(key) // nothing hashable at all: constant salt
+      case names => names
+    }
     df.withColumn("__salt",
         pmod(xxhash64(hashableNames.map(col): _*), lit(nSalts.toLong)))
       .groupBy(col(key), col("__salt"))

@@ -41,6 +41,13 @@ object Expectations {
     *     and so failing — on an empty group (0/0): no rows is "no
     *     signal", not "unique".
     *   - `mean` / `min` / `max` — over `column` cast to double
+    *   - `quantile` — the exact interpolated `q`-quantile of `column`
+    *     (Great-Expectations' median/quantile bounds; `q` defaults to
+    *     0.5). Exact `percentile` is sort-based per group — the right
+    *     default for verdict stability; at corpus scale swap
+    *     `quantile_approx` (t-digest `approx_percentile`, accuracy
+    *     pinned against exact in ExpectationsSpec, not
+    *     oracle-replayable).
     *
     * Unbounded sides default to ±∞.
     */
@@ -48,18 +55,21 @@ object Expectations {
       check: String,
       column: String = "",
       lo: Double = Double.NegativeInfinity,
-      hi: Double = Double.PositiveInfinity) {
+      hi: Double = Double.PositiveInfinity,
+      q: Double = 0.5) {
     require(Expect.kinds.contains(check),
       s"unknown check '$check' (closed vocabulary: ${Expect.kinds.toSeq.sorted.mkString(", ")})")
     require(check == "row_count" || column.nonEmpty,
       s"check '$check' needs a column")
     require(lo <= hi, s"empty bound [$lo, $hi] for $check($column)")
+    require(!check.startsWith("quantile") || (q >= 0d && q <= 1d),
+      s"quantile q must be in [0,1], got $q")
   }
 
   object Expect {
     val kinds: Set[String] =
       Set("row_count", "null_frac", "distinct", "unique_frac",
-        "mean", "min", "max")
+        "mean", "min", "max", "quantile", "quantile_approx")
   }
 
   private def observe(e: Expect, approxDistinct: Boolean): Column = {
@@ -80,6 +90,9 @@ object Expectations {
       case "mean" => avg(col(e.column).cast("double"))
       case "min" => min(col(e.column).cast("double"))
       case "max" => max(col(e.column).cast("double"))
+      case "quantile" => percentile(col(e.column).cast("double"), lit(e.q))
+      case "quantile_approx" =>
+        approx_percentile(col(e.column).cast("double"), lit(e.q), lit(10000))
     }
   }
 

@@ -42,6 +42,27 @@ object Verdict {
         (sum(col("__n_err").cast("long")) === 0L).as("pass")
       )
 
+  /** Per-(field, rule, severity) violation breakdown — the triage view
+    * a user reads FIRST after a failed run: which rules fired, how
+    * often, over how many distinct offending values, with the value
+    * range as ready examples. One explode projection (violations are
+    * the minority of rows) + one hash aggregate whose key space is
+    * bounded by the RULE count, not the data — output is O(rules)
+    * rows at any corpus size. The exact distinct-value count forces an
+    * Expand over the violation rows only; pass the violations of a
+    * SAMPLE partition first if even that is too hot.
+    */
+  def ruleBreakdown(df: DataFrame, schema: Schema): DataFrame =
+    df.select(explode(RuleCompiler.violationsArray(schema)).as("v"))
+      .where(col("v").isNotNull)
+      .groupBy(col("v.field").as("field"), col("v.rule").as("rule"),
+        col("v.severity").as("severity"))
+      .agg(
+        count(lit(1)).as("n_violations"),
+        countDistinct(col("v.value")).as("n_distinct_values"),
+        min(col("v.value")).as("example_min"),
+        max(col("v.value")).as("example_max"))
+
   /** Rollup verdicts: every per-partition row PLUS the grand-total row
     * from ONE pass (`ROLLUP` reuses the partial aggregates — no second
     * scan of the input). `is_total = 1` marks the total row;

@@ -81,6 +81,28 @@ class ExpectationsSpec extends SparkSpec {
     assert(!plan.contains("Expand"))
   }
 
+  test("quantile: exact interpolated bound; approx variant tracks exact") {
+    val med = docs.select(percentile(col("n_chars").cast("double"), lit(0.5)))
+      .first().getDouble(0)
+    val out = Expectations.evaluate(docs, Seq(
+        Expect("quantile", "n_chars", lo = med, hi = med), // exactly at bound
+        Expect("quantile", "n_chars", lo = 0, hi = 0.25, q = 0.0) // q=0 is min; fails
+      )).collect()
+    assert(out(0).getAs[Double]("observed") === med)
+    assert(out(0).getAs[Boolean]("pass"))
+    assert(out(1).getAs[Double]("observed") ===
+      docs.agg(min(col("n_chars").cast("double"))).first().getDouble(0))
+    assert(!out(1).getAs[Boolean]("pass"))
+    // sketch variant within 5% of exact on this distribution
+    val approx = Expectations.evaluate(docs,
+      Seq(Expect("quantile_approx", "n_chars", lo = 0))).first()
+      .getAs[Double]("observed")
+    assert(math.abs(approx - med) / med < 0.05)
+    assertThrows[IllegalArgumentException] {
+      Expect("quantile", "n_chars", q = 1.5)
+    }
+  }
+
   test("unique_frac: key uniqueness as one declared check") {
     val n = docs.count().toDouble
     val distinctLang = docs.select("lang").distinct().count().toDouble

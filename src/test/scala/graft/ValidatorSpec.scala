@@ -402,6 +402,24 @@ class ValidatorSpec extends SparkSpec {
     assert(v === Set(("anyof", "warning")))
   }
 
+  test("ruleBreakdown: per-(field, rule, severity) triage rollup matches the violation rows") {
+    val df = Seq(
+      (1L, null.asInstanceOf[String], "xx"),
+      (2L, "ok", "yyyy"),
+      (3L, null.asInstanceOf[String], "zz")
+    ).toDF("id", "name", "code")
+    val schema = Schema.of(
+      "name" -> FieldSpec(required = true),
+      "code" -> FieldSpec(maxLength = Some(3),
+        ruleSeverity = Map("maxlength" -> graft.schema.Severity.Warning)))
+    val bd = Verdict.ruleBreakdown(df, schema)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        (r.getLong(3), r.getLong(4), r.getString(6))).toMap
+    assert(bd(("name", "required", "error")) === ((2L, 0L, null))) // null values → 0 distinct
+    assert(bd(("code", "maxlength", "warning")) === ((1L, 1L, "yyyy")))
+    assert(bd.size === 2)
+  }
+
   test("items: length gate on the parent, positional sub-specs on indexed paths") {
     // Tuple-shaped lists (public Cerberus `items`): slot 0 lowercase
     // word, slot 1 integer-parseable.
