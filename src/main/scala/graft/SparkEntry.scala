@@ -1458,34 +1458,37 @@ object SparkEntry {
         |  count(DISTINCT source) / CAST(count(*) AS DOUBLE) AS uf_src,
         |  quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med_nc
         | FROM documents GROUP BY lang)
-        |SELECT lang, 'row_count' AS "check", '' AS "column", n AS observed,
+        |SELECT lang, 'row_count' AS "check", '' AS "column",
+        | CAST(NULL AS DOUBLE) AS q, n AS observed,
         | 50.0 AS lo, CAST('inf' AS DOUBLE) AS hi, n >= 50.0 AS pass FROM g
         |UNION ALL
-        |SELECT lang, 'null_frac', 'text', nf, CAST('-inf' AS DOUBLE), 0.1,
-        | nf <= 0.1 FROM g
+        |SELECT lang, 'null_frac', 'text', CAST(NULL AS DOUBLE), nf,
+        | CAST('-inf' AS DOUBLE), 0.1, nf <= 0.1 FROM g
         |UNION ALL
-        |SELECT lang, 'distinct', 'source', nd, 10.0, 30.0,
-        | nd >= 10.0 AND nd <= 30.0 FROM g
+        |SELECT lang, 'distinct', 'source', CAST(NULL AS DOUBLE), nd, 10.0,
+        | 30.0, nd >= 10.0 AND nd <= 30.0 FROM g
         |UNION ALL
-        |SELECT lang, 'mean', 'n_chars', mean_nc, 100.0, 1000.0,
-        | mean_nc >= 100.0 AND mean_nc <= 1000.0 FROM g
+        |SELECT lang, 'mean', 'n_chars', CAST(NULL AS DOUBLE), mean_nc, 100.0,
+        | 1000.0, mean_nc >= 100.0 AND mean_nc <= 1000.0 FROM g
         |UNION ALL
-        |SELECT lang, 'max', 'n_chars', max_nc, CAST('-inf' AS DOUBLE), 550.0,
-        | max_nc <= 550.0 FROM g
+        |SELECT lang, 'max', 'n_chars', CAST(NULL AS DOUBLE), max_nc,
+        | CAST('-inf' AS DOUBLE), 550.0, max_nc <= 550.0 FROM g
         |UNION ALL
-        |SELECT lang, 'unique_frac', 'doc_id', uf_id, 1.0,
-        | CAST('inf' AS DOUBLE), uf_id >= 1.0 FROM g
+        |SELECT lang, 'unique_frac', 'doc_id', CAST(NULL AS DOUBLE), uf_id,
+        | 1.0, CAST('inf' AS DOUBLE), uf_id >= 1.0 FROM g
         |UNION ALL
-        |SELECT lang, 'unique_frac', 'source', uf_src, 0.9,
-        | CAST('inf' AS DOUBLE), uf_src >= 0.9 FROM g
+        |SELECT lang, 'unique_frac', 'source', CAST(NULL AS DOUBLE), uf_src,
+        | 0.9, CAST('inf' AS DOUBLE), uf_src >= 0.9 FROM g
         |UNION ALL
-        |SELECT lang, 'quantile', 'n_chars', med_nc, 100.0, 400.0,
+        |SELECT lang, 'quantile', 'n_chars', 0.5 AS q, med_nc, 100.0, 400.0,
         | med_nc >= 100.0 AND med_nc <= 400.0 FROM g""".stripMargin,
 
     "q_rule_breakdown_documents" ->
       s"""SELECT field, rule, severity, count(*) AS n_violations,
         | count(DISTINCT value) AS n_distinct_values,
-        | min(value) AS example_min, max(value) AS example_max
+        | min(value) AS example_min, max(value) AS example_max,
+        | min(TRY_CAST(value AS DOUBLE)) AS example_min_num,
+        | max(TRY_CAST(value AS DOUBLE)) AS example_max_num
         |FROM ($docViolationsSql)
         |GROUP BY field, rule, severity""".stripMargin,
 

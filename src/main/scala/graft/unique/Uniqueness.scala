@@ -90,12 +90,11 @@ object Uniqueness {
       case _ => true
     }
     val hashableNames = df.schema.fields
-      .filter(f => hashable(f.dataType)).map(_.name).toSeq match {
-      case Seq() => Seq(key) // nothing hashable at all: constant salt
-      case names => names
-    }
-    df.withColumn("__salt",
-        pmod(xxhash64(hashableNames.map(col): _*), lit(nSalts.toLong)))
+      .filter(f => hashable(f.dataType)).map(_.name).toSeq
+    val salt = // nothing hashable at all → genuinely constant salt
+      if (hashableNames.isEmpty) lit(0L)
+      else pmod(xxhash64(hashableNames.map(col): _*), lit(nSalts.toLong))
+    df.withColumn("__salt", salt)
       .groupBy(col(key), col("__salt"))
       .agg(count(lit(1)).as("__partial"))
       .groupBy(col(key))

@@ -56,14 +56,26 @@ object Expectations {
       column: String = "",
       lo: Double = Double.NegativeInfinity,
       hi: Double = Double.PositiveInfinity,
-      q: Double = 0.5) {
+      q: Double = Double.NaN) {
     require(Expect.kinds.contains(check),
       s"unknown check '$check' (closed vocabulary: ${Expect.kinds.toSeq.sorted.mkString(", ")})")
     require(check == "row_count" || column.nonEmpty,
       s"check '$check' needs a column")
     require(lo <= hi, s"empty bound [$lo, $hi] for $check($column)")
-    require(!check.startsWith("quantile") || (q >= 0d && q <= 1d),
+    // q is quantile-only; setting it on another check is the typo'd-
+    // check misconfiguration this closed vocabulary exists to reject.
+    require(check.startsWith("quantile") || q.isNaN,
+      s"q applies only to quantile checks, not '$check'")
+    require(!check.startsWith("quantile") || q.isNaN || (q >= 0d && q <= 1d),
       s"quantile q must be in [0,1], got $q")
+
+    /** The quantile actually evaluated (0.5 when unset); NaN for
+      * non-quantile checks (reported as null in verdict rows).
+      */
+    def effectiveQ: Double =
+      if (!check.startsWith("quantile")) Double.NaN
+      else if (q.isNaN) 0.5
+      else q
   }
 
   object Expect {
@@ -90,9 +102,11 @@ object Expectations {
       case "mean" => avg(col(e.column).cast("double"))
       case "min" => min(col(e.column).cast("double"))
       case "max" => max(col(e.column).cast("double"))
-      case "quantile" => percentile(col(e.column).cast("double"), lit(e.q))
+      case "quantile" =>
+        percentile(col(e.column).cast("double"), lit(e.effectiveQ))
       case "quantile_approx" =>
-        approx_percentile(col(e.column).cast("double"), lit(e.q), lit(10000))
+        approx_percentile(col(e.column).cast("double"), lit(e.effectiveQ),
+          lit(10000))
     }
   }
 
@@ -116,9 +130,15 @@ object Expectations {
       else df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
     val rows = expects.zipWithIndex.map { case (e, i) =>
       val o = col(s"__obs$i")
+      // q identifies WHICH quantile a row gates on (two quantile checks
+      // on one column must stay distinguishable in the verdict table —
+      // verdicts are data); null for non-quantile checks.
+      val qCol =
+        if (e.effectiveQ.isNaN) lit(null).cast("double") else lit(e.effectiveQ)
       struct(
         lit(e.check).as("check"),
         lit(e.column).as("column"),
+        qCol.as("q"),
         o.as("observed"),
         lit(e.lo).as("lo"),
         lit(e.hi).as("hi"),

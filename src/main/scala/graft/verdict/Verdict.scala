@@ -44,24 +44,32 @@ object Verdict {
 
   /** Per-(field, rule, severity) violation breakdown — the triage view
     * a user reads FIRST after a failed run: which rules fired, how
-    * often, over how many distinct offending values, with the value
-    * range as ready examples. One explode projection (violations are
-    * the minority of rows) + one hash aggregate whose key space is
-    * bounded by the RULE count, not the data — output is O(rules)
-    * rows at any corpus size. The exact distinct-value count forces an
-    * Expand over the violation rows only; pass the violations of a
-    * SAMPLE partition first if even that is too hot.
+    * often, over how many distinct offending values, with value-range
+    * examples. Built ON the violations table ([[Validator.violations]]
+    * with no key columns — one projection source, so the breakdown can
+    * never diverge from the rows it summarizes) + one hash aggregate
+    * whose key space is bounded by the RULE count, not the data —
+    * output is O(rules) rows at any corpus size. `example_min`/`_max`
+    * order the reported value STRINGS lexicographically (the
+    * violation `value` channel is a string by design);
+    * `example_min_num`/`_max_num` give the true numeric range over the
+    * values that parse as numbers (null when none do). The exact
+    * distinct-value count forces an Expand over the violation rows
+    * only; pass the violations of a SAMPLE partition first if even
+    * that is too hot.
     */
   def ruleBreakdown(df: DataFrame, schema: Schema): DataFrame =
-    df.select(explode(RuleCompiler.violationsArray(schema)).as("v"))
-      .where(col("v").isNotNull)
-      .groupBy(col("v.field").as("field"), col("v.rule").as("rule"),
-        col("v.severity").as("severity"))
+    Validator.violations(df, schema, Nil)
+      .groupBy(col("field"), col("rule"), col("severity"))
       .agg(
         count(lit(1)).as("n_violations"),
-        countDistinct(col("v.value")).as("n_distinct_values"),
-        min(col("v.value")).as("example_min"),
-        max(col("v.value")).as("example_max"))
+        countDistinct(col("value")).as("n_distinct_values"),
+        min(col("value")).as("example_min"),
+        max(col("value")).as("example_max"),
+        min(col("value").try_cast(org.apache.spark.sql.types.DoubleType))
+          .as("example_min_num"),
+        max(col("value").try_cast(org.apache.spark.sql.types.DoubleType))
+          .as("example_max_num"))
 
   /** Rollup verdicts: every per-partition row PLUS the grand-total row
     * from ONE pass (`ROLLUP` reuses the partial aggregates — no second

@@ -37,7 +37,8 @@ class ExpectationsSpec extends SparkSpec {
       groupCols = Seq("lang"))
     val langs = docs.select("lang").distinct().count()
     assert(out.count() === langs * 2)
-    assert(out.columns.toSeq === Seq("lang", "check", "column", "observed", "lo", "hi", "pass"))
+    assert(out.columns.toSeq ===
+      Seq("lang", "check", "column", "q", "observed", "lo", "hi", "pass"))
     // per-group row counts match a direct groupBy
     val direct = docs.groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
@@ -101,6 +102,17 @@ class ExpectationsSpec extends SparkSpec {
     assertThrows[IllegalArgumentException] {
       Expect("quantile", "n_chars", q = 1.5)
     }
+    // q on a non-quantile check is a misconfiguration (typo'd check),
+    // rejected at construction like every other misconfig
+    assertThrows[IllegalArgumentException] {
+      Expect("mean", "n_chars", q = 0.9)
+    }
+    // two quantiles on one column stay distinguishable: q is data
+    val two = Expectations.evaluate(docs, Seq(
+        Expect("quantile", "n_chars", lo = 0, q = 0.05),
+        Expect("quantile", "n_chars", lo = 0, q = 0.95)))
+      .collect().map(r => r.getAs[Double]("q")).toSet
+    assert(two === Set(0.05, 0.95))
   }
 
   test("unique_frac: key uniqueness as one declared check") {
