@@ -115,6 +115,47 @@ object SparkEntry {
     docs(s, dir).withColumn("region_hint",
       when(col("n_chars") <= 500, col("lang")))
 
+  /** q_normalize_nested input: documents + a `meta` struct — null on
+    * the doc_id%31 slice (pins the parent-null no-inject semantics on
+    * real rows), `region` null for oversized docs (the dotted default
+    * fires), `size` carried through untouched.
+    */
+  private def docsNested(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).withColumn("meta",
+      when(pmod(col("doc_id"), lit(31)) =!= 0,
+        struct(
+          when(col("n_chars") <= 500, col("lang")).as("region"),
+          col("n_chars").as("size"))))
+
+  /** Struct-path normalization schema: a dotted default + coercion on
+    * an existing struct field, and a dotted default CREATING a new
+    * struct field — both rebuilt in place via withField.
+    */
+  private val nestedNormSchema = Schema.of(
+    "doc_id" -> FieldSpec(),
+    "meta.region" -> FieldSpec(default = Some("unknown"),
+      normalize = Some(upper(_))),
+    "meta.origin_tag" -> FieldSpec(default = Some("none")))
+
+  /** q_normalize_elements input: accounts array with a NULLABLE element
+    * field (element 1's `n` is null for oversized docs) so the
+    * per-element default fires on real rows.
+    */
+  private def docsAccountsNullable(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      array(
+        struct(col("source").as("name"), col("n_chars").as("n")),
+        struct(col("lang").as("name"),
+          when(col("n_chars") <= 500, col("n_chars") - 200).as("n")))
+        .as("accounts"))
+
+  /** Per-element normalization: coercion (upper names) + literal
+    * default (null n → 0) inside every array element.
+    */
+  private val elemNormSchema = Schema.of(
+    "name" -> FieldSpec(normalize = Some(upper(_))),
+    "n" -> FieldSpec(default = Some(0L)))
+
   /** Positional `items` schema for q_validate_items_documents: slot 0
     * source-shaped, slot 1 language allow-list, slot 2 integer-parseable
     * (size_tag's '~nnn' oversize tag fails it).
@@ -610,6 +651,26 @@ object SparkEntry {
       // column is absent from the frame).
       Validator.normalizationActions(docsForNormalize(s, dir), normSchema,
         Seq("doc_id"))),
+
+    "q_normalize_nested_documents" -> ((s, dir) =>
+      // Struct-path normalization (round 5): defaults + coercions on
+      // dotted paths — meta.region defaulted then uppercased,
+      // meta.origin_tag CREATED inside the struct; rows whose meta
+      // struct is null stay null (no injection through a null parent).
+      // Output flattened to scalars for the driver harness.
+      Validator.normalizeDocument(docsNested(s, dir), nestedNormSchema)
+        .select(col("doc_id"), col("meta.region").as("region"),
+          col("meta.size").as("size"),
+          col("meta.origin_tag").as("origin_tag"))),
+    "q_normalize_elements_documents" -> ((s, dir) =>
+      // Per-element normalization (round 5): upper-coercion on every
+      // element name + literal default for null element n, applied
+      // inside ONE transform projection; exploded to scalar rows.
+      Validator.normalizeElements(
+          docsAccountsNullable(s, dir), elemNormSchema, "accounts")
+        .select(col("doc_id"), posexplode(col("accounts")))
+        .select(col("doc_id"), col("pos").as("idx"),
+          col("col.name").as("name"), col("col.n").as("n"))),
 
     "q_validate_items_documents" -> ((s, dir) => {
       // Positional `items` rules (tuple-shaped lists): a 3-slot attrs
@@ -1413,6 +1474,28 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, 'quality_bucket' AS field, 'default' AS action,
         | CASE WHEN n_chars > 300 THEN 'long' ELSE 'short' END AS value
+        |FROM documents""".stripMargin,
+
+    // Dotted-path normalization replayed per row, incl. the null-meta
+    // slice where nothing is injected (null parent propagates).
+    "q_normalize_nested_documents" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 31 <> 0
+        |  THEN upper(coalesce(CASE WHEN n_chars <= 500 THEN lang END,
+        |                      'unknown')) END AS region,
+        | CASE WHEN doc_id % 31 <> 0 THEN n_chars END AS size,
+        | CASE WHEN doc_id % 31 <> 0 THEN 'none' END AS origin_tag
+        |FROM documents""".stripMargin,
+    // Element 0 = (source, n_chars), element 1 = (lang, n_chars-200 or
+    // defaulted 0) — the whole per-element transform replayed.
+    "q_normalize_elements_documents" ->
+      """SELECT doc_id, CAST(0 AS INT) AS idx, upper(source) AS name,
+        | n_chars AS n
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, CAST(1 AS INT), upper(lang),
+        | coalesce(CASE WHEN n_chars <= 500 THEN n_chars - 200 END,
+        |          CAST(0 AS BIGINT))
         |FROM documents""".stripMargin,
 
     "q_validate_items_documents" ->

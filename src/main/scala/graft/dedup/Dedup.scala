@@ -529,6 +529,16 @@ object Dedup {
     * the job. That is the right trade for an iterative job this short
     * (rounds ≈ graph diameter); a run that must survive executor loss
     * should swap in `checkpoint()` against a reliable store.
+    *
+    * RETURN-VALUE CONTRACT: the returned frame (and every frame
+    * derived from it — [[clusterAssignments]], [[dedupByClusters]])
+    * reads the final round's checkpointed blocks, which are freed when
+    * `scope` is released. Unlike scope-CACHED frames, which silently
+    * recompute after release, a checkpointed frame's lineage is
+    * truncated — consuming it after `scope.release()` fails hard
+    * (checkpoint block not found). Fully materialize (write/collect/
+    * count) before releasing the scope; never let the frame escape a
+    * `CacheScope.withScope` block.
     */
   def connectedComponents(
       pairs: DataFrame,

@@ -38,8 +38,10 @@ import org.apache.spark.sql.functions._
   * pass the anti-join and land duplicate index rows; `appendBloom`'s
   * read-merge-swap can likewise lose one writer's keys. Serialize
   * writers per index path (the [[graft.resume.Checkpoint]] manifest,
-  * a scheduler lock, or one owning streaming query); concurrent
-  * READERS are always safe.
+  * a scheduler lock, or one owning streaming query). Concurrent
+  * READERS are safe: appends never rewrite existing rows, and
+  * [[loadBloom]] falls back to the complete `data.swap-old` aside
+  * during `appendBloom`'s brief between-renames window.
   */
 object IndexStore {
 
@@ -98,10 +100,27 @@ object IndexStore {
 
   /** Stored filter bytes + build parameters. Callers must probe with
     * the SAME key columns in the meta's recorded order.
+    *
+    * Safe against a concurrent [[appendBloom]] swap: between its two
+    * renames `data` is briefly absent while the complete pre-merge
+    * filter sits at `data.swap-old` — a not-found read falls back to
+    * the aside (and retries `data` once more for the reverse
+    * interleaving) before giving up.
     */
   def loadBloom(spark: SparkSession, path: String): (Array[Byte], BloomMeta) = {
     val meta = readMeta[BloomMeta](spark, path, "bloom")(Encoders.product[BloomMeta])
-    val rows = spark.read.parquet(s"$path/data").collect()
+    def read(sub: String): Array[org.apache.spark.sql.Row] =
+      spark.read.parquet(s"$path/$sub").collect()
+    def notFound(e: Throwable): Boolean =
+      e.getMessage != null && e.getMessage.contains("PATH_NOT_FOUND")
+    val rows =
+      try read("data")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException if notFound(e) =>
+          try read("data.swap-old")
+          catch { case e2: org.apache.spark.sql.AnalysisException
+            if notFound(e2) => read("data") }
+      }
     require(rows.length == 1, s"bloom index at $path must hold exactly one row")
     (rows.head.getAs[Array[Byte]]("bloom"), meta)
   }

@@ -71,9 +71,20 @@ object Validator {
     * Normalizers should be idempotent (trim/lower/canonicalize are):
     * [[violations]] re-applies `normalize` at rule time, so
     * normalize-then-validate equals validate exactly when
-    * `f(f(x)) = f(x)`. Defaults/renames/purges target TOP-LEVEL
-    * columns (dotted paths are struct surgery, not column ops) —
-    * rejected up front.
+    * `f(f(x)) = f(x)`.
+    *
+    * Dotted paths: RENAMES stay top-level (rejected up front — a
+    * struct-field rename is a schema migration, not a column op), but
+    * defaults and `normalize` coercions reach INSIDE structs, matching
+    * what validation resolves (V8): the enclosing struct is rebuilt in
+    * place via `withField`, so `a.b.c` gets its default/coercion
+    * without disturbing sibling fields. The dotted LEAF may be absent
+    * (withField creates it), but the parent path must resolve to a
+    * struct column — a missing parent is a misconfiguration, rejected
+    * up front (E1). A default/coercion lands only where every
+    * enclosing struct on the path is non-null (a null struct stays
+    * null — the same null-propagation validation sees; whether the
+    * struct itself may be null is the struct field's own rule).
     */
   def normalizeDocument(
       df: DataFrame,
@@ -90,15 +101,21 @@ object Validator {
         .filter(c => declaredRoots.contains(c) || allowUnknown.contains(c))
         .map(col): _*)
     val defaulted = eff.foldLeft(purged) { case (acc, (name, spec)) =>
-      defaultExpr(spec).fold(acc) { d =>
-        if (acc.columns.contains(name)) acc.withColumn(name, coalesce(col(name), d))
-        else acc.withColumn(name, d)
-      }
+      defaultExpr(spec).fold(acc)(d => applyDefault(acc, name, d, flagCol = None))
     }
     eff.foldLeft(defaulted) { case (acc, (name, spec)) =>
-      spec.normalize
-        .filter(_ => acc.columns.contains(name) && !name.contains('.'))
-        .fold(acc)(f => acc.withColumn(name, f(col(name))))
+      spec.normalize.fold(acc) { f =>
+        if (!name.contains('.')) {
+          // Coercion on a column absent from the frame is a no-op
+          // (Cerberus: coercing a missing key does nothing) — unlike a
+          // default, it cannot create the column.
+          if (acc.columns.contains(name)) acc.withColumn(name, f(col(name)))
+          else acc
+        } else if (resolvePath(acc.schema, name).isDefined) {
+          val (root, rest, _) = splitDotted(name)
+          acc.withColumn(root, col(root).withField(rest, f(col(name))))
+        } else acc // unresolvable dotted leaf: same missing-key no-op
+      }
     }
   }
 
@@ -108,15 +125,23 @@ object Validator {
     * normalizing an already-normalized frame is a no-op, not an error
     * — re-runs are idempotent), and a rename that WOULD occur into an
     * existing column is a misconfiguration rejected up front (E1): it
-    * would leave two columns with one name. Dotted normalization
-    * targets are rejected here too (struct surgery, not column ops).
+    * would leave two columns with one name. Rejected up front likewise
+    * (even when no frame column collides): two specs whose EFFECTIVE
+    * (post-rename) names coincide — they would fold their defaults/
+    * coercions onto one output column in schema order. Dotted rename
+    * targets are struct surgery, not column ops — rejected.
     */
   private def applyRenames(df: DataFrame, schema: Schema): DataFrame = {
     schema.fields.foreach { case (name, spec) =>
-      if (spec.rename.isDefined || spec.default.isDefined || spec.defaultSetter.isDefined)
+      if (spec.rename.isDefined)
         require(!name.contains('.'),
-          s"normalization (rename/default) targets top-level columns; '$name' is a dotted path")
+          s"rename targets top-level columns; '$name' is a dotted path")
     }
+    val eff = schema.fields.map { case (n, s) => s.rename.getOrElse(n) }
+    val collisions = eff.diff(eff.distinct).distinct
+    require(collisions.isEmpty,
+      s"schema's effective (post-rename) field names collide: " +
+        s"${collisions.mkString(", ")} — two specs would normalize one column")
     schema.fields.foldLeft(df) { case (acc, (name, spec)) =>
       spec.rename.fold(acc) { to =>
         if (!acc.columns.contains(name)) acc
@@ -135,6 +160,50 @@ object Validator {
   private def defaultExpr(spec: graft.schema.FieldSpec): Option[Column] =
     spec.defaultSetter.orElse(spec.default.map(lit))
 
+  /** `a.b.c` → (root `a`, withField path `b.c`, parent path `a.b`). */
+  private def splitDotted(name: String): (String, String, String) = {
+    val root = name.takeWhile(_ != '.')
+    (root, name.drop(root.length + 1),
+      name.substring(0, name.lastIndexOf('.')))
+  }
+
+  /** Apply ONE field's default — shared verbatim by [[normalizeDocument]]
+    * (which records no flag) and [[normalizationActions]] (which records
+    * `flagCol` = "this row got the default", computed over the
+    * PRE-update frame) so injection semantics cannot drift between the
+    * transform and its action record. Top-level: coalesce when present,
+    * create when absent. Dotted: the parent path must resolve to a
+    * struct (E1 — rejected otherwise); the leaf is coalesced when
+    * present, created via `withField` when absent; the flag (and the
+    * injection) requires the parent chain non-null.
+    */
+  private def applyDefault(
+      acc: DataFrame,
+      name: String,
+      d: Column,
+      flagCol: Option[String]): DataFrame = {
+    def withFlag(f: DataFrame, e: Column): DataFrame =
+      flagCol.fold(f)(fc => f.withColumn(fc, e))
+    if (!name.contains('.')) {
+      if (acc.columns.contains(name))
+        withFlag(acc, col(name).isNull).withColumn(name, coalesce(col(name), d))
+      else withFlag(acc, lit(true)).withColumn(name, d)
+    } else {
+      val (root, rest, parent) = splitDotted(name)
+      require(resolvePath(acc.schema, parent)
+          .exists(_.isInstanceOf[org.apache.spark.sql.types.StructType]),
+        s"dotted default target '$name': parent path '$parent' must " +
+          "resolve to a struct column of the frame (structs are rebuilt " +
+          "in place; a missing parent cannot be created wholesale)")
+      val leafExists = resolvePath(acc.schema, name).isDefined
+      val v = if (leafExists) coalesce(col(name), d) else d
+      val flag =
+        if (leafExists) col(parent).isNotNull && col(name).isNull
+        else col(parent).isNotNull
+      withFlag(acc, flag).withColumn(root, col(root).withField(rest, v))
+    }
+  }
+
   /** The per-row record of what [[normalizeDocument]]'s DEFAULT step
     * injects — applied actions as data, the E4 rule applied to
     * normalization: `(…keyCols, field, action="default", value)`, one
@@ -147,7 +216,10 @@ object Validator {
     * evaluation. Fields/keys are post-rename names — run this on the
     * same input as [[normalizeDocument]]. Rename and purge are
     * schema-level actions, visible in the transformed frame's own
-    * column set rather than per-row rows.
+    * column set rather than per-row rows. Dotted (struct-path)
+    * defaults record exactly where [[normalizeDocument]] injects: rows
+    * whose parent chain is non-null and whose leaf was null/absent
+    * (shared [[applyDefault]] — the two folds cannot drift).
     */
   def normalizationActions(
       df: DataFrame,
@@ -163,11 +235,7 @@ object Validator {
     effectiveFields(schema).zipWithIndex.foreach { case ((name, spec), i) =>
       defaultExpr(spec).foreach { d =>
         val flag = s"__defaulted_$i"
-        frame =
-          if (frame.columns.contains(name))
-            frame.withColumn(flag, col(name).isNull)
-              .withColumn(name, coalesce(col(name), d))
-          else frame.withColumn(flag, lit(true)).withColumn(name, d)
+        frame = applyDefault(frame, name, d, flagCol = Some(flag))
         flagged += ((flag, name))
       }
     }
@@ -210,22 +278,12 @@ object Validator {
       df: DataFrame,
       schema: Schema,
       allowUnknown: Set[String] = Set.empty): DataFrame = {
-    import org.apache.spark.sql.types.{StructType, DataType}
-    def resolve(t: DataType, path: List[String]): Option[DataType] =
-      (t, path) match {
-        case (dt, Nil) => Some(dt)
-        case (st: StructType, head :: rest) =>
-          st.fields.find(_.name == head).flatMap(f => resolve(f.dataType, rest))
-        case _ => None
-      }
     val declaredRoots = schema.fieldNames.map(_.split('.').head).toSet
     val unknown = df.schema.fields.toSeq
       .filter(f => !declaredRoots.contains(f.name) && !allowUnknown.contains(f.name))
       .map(f => (f.name, "unknown", f.dataType.simpleString, Severity.Error))
     val missing = schema.fields
-      .filter { case (name, _) =>
-        resolve(df.schema, name.split('.').toList).isEmpty
-      }
+      .filter { case (name, _) => resolvePath(df.schema, name).isEmpty }
       .map { case (name, spec) =>
         (name, "missing", null.asInstanceOf[String],
           if (spec.required) Severity.Error else Severity.Warning)
@@ -336,4 +394,87 @@ object Validator {
         count(lit(1)).as("n_elem_violations"),
         sum(when(col("severity") === graft.schema.Severity.Warning, 0L)
           .otherwise(1L)).as("n_elem_errors"))
+
+  /** Resolve a dotted field path through nested structs of a frame
+    * schema — the ONE resolution rule shared by the structural pre-gate
+    * ([[schemaViolations]]) and struct-path normalization, mirroring
+    * the row-level compiler's path semantics.
+    */
+  private def resolvePath(
+      schema: org.apache.spark.sql.types.StructType,
+      dotted: String): Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    def walk(t: DataType, path: List[String]): Option[DataType] =
+      (t, path) match {
+        case (dt, Nil) => Some(dt)
+        case (st: StructType, head :: rest) =>
+          st.fields.find(_.name == head).flatMap(f => walk(f.dataType, rest))
+        case _ => None
+      }
+    walk(schema, dotted.split('.').toList)
+  }
+
+  /** Per-ELEMENT normalization of an `array<struct>` column — the
+    * transforming counterpart of [[elementViolations]] (Cerberus
+    * normalizes inside `schema`-on-list rules too): each element field
+    * named by `elemSchema` gets its literal `default` (null → filled,
+    * declared-but-absent → field CREATED on every element) and then its
+    * `normalize` coercion, in the document-level order (defaults before
+    * coercions). Null elements stay null, null arrays stay null (their
+    * presence rules belong to the array field itself).
+    *
+    * Only `default` and `normalize` apply per element: `rename` and
+    * `defaultSetter` are document-level normalization (a sub-spec
+    * evaluated inside a lambda cannot reference sibling COLUMNS) —
+    * declaring them here is a misconfiguration, rejected up front (E1).
+    *
+    * Plan: ONE projection rebuilding the array via `transform` — zero
+    * shuffle, bounded per row by the array cardinality. PERFORMANCE:
+    * `normalize` functions run once PER ELEMENT here (the documented
+    * higher-order-function re-evaluation rule) — they must only touch
+    * the element value they receive; anything row-derived belongs in a
+    * pre-projected column and document-level normalization.
+    */
+  def normalizeElements(
+      df: DataFrame,
+      elemSchema: Schema,
+      arrayCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    val elemType = df.schema(arrayCol).dataType match {
+      case ArrayType(st: StructType, _) => st
+      case other => throw new IllegalArgumentException(
+        s"normalizeElements needs an array<struct> column; " +
+          s"'$arrayCol' is ${other.simpleString}")
+    }
+    elemSchema.fields.foreach { case (name, spec) =>
+      require(!name.contains('.'),
+        s"element field '$name': paths are relative to the element " +
+          "struct; nested dotted paths are not supported per element")
+      require(spec.rename.isEmpty && spec.defaultSetter.isEmpty,
+        s"element field '$name': rename/default_setter are document-" +
+          "level normalization; per element only literal `default` and " +
+          "`normalize` apply")
+      require(elemType.fieldNames.contains(name) || spec.default.isDefined,
+        s"element field '$name' is absent from the element struct and " +
+          "declares no default to create it")
+    }
+    val specMap = elemSchema.fields.toMap
+    val created = elemSchema.fields.filter {
+      case (n, _) => !elemType.fieldNames.contains(n)
+    }
+    df.withColumn(arrayCol, transform(col(arrayCol), e => {
+      val existing = elemType.fields.toSeq.map { f =>
+        val base = e.getField(f.name)
+        specMap.get(f.name).fold(base) { spec =>
+          val defaulted = spec.default.fold(base)(d => coalesce(base, lit(d)))
+          spec.normalize.fold(defaulted)(fn => fn(defaulted))
+        }.as(f.name)
+      }
+      val added = created.map { case (n, spec) =>
+        spec.normalize.fold(lit(spec.default.get))(fn =>
+          fn(lit(spec.default.get))).as(n)
+      }
+      when(e.isNotNull, struct(existing ++ added: _*))
+    }))
+  }
 }

@@ -53,17 +53,27 @@ object Verdict {
     * order the reported value STRINGS lexicographically (the
     * violation `value` channel is a string by design);
     * `example_min_num`/`_max_num` give the true numeric range over the
-    * values that parse as numbers (null when none do). The exact
-    * distinct-value count forces an Expand over the violation rows
-    * only; pass the violations of a SAMPLE partition first if even
-    * that is too hot.
+    * values that parse as numbers (null when none do).
+    *
+    * The default exact distinct-value count plans a double-exchange
+    * SortAggregate over the violation rows (bounded by distinct
+    * (rule, value) pairs after partial aggregation, not corpus rows —
+    * violations are minority rows by construction). At corpus scale
+    * pass `approxDistinct = true` for the HLL++ sketch: one
+    * hash-aggregate exchange, no sort — the same exact/approx trade as
+    * [[Expectations.evaluate]], with the same default (exactness for
+    * verdict stability).
     */
-  def ruleBreakdown(df: DataFrame, schema: Schema): DataFrame =
+  def ruleBreakdown(
+      df: DataFrame,
+      schema: Schema,
+      approxDistinct: Boolean = false): DataFrame =
     Validator.violations(df, schema, Nil)
       .groupBy(col("field"), col("rule"), col("severity"))
       .agg(
         count(lit(1)).as("n_violations"),
-        countDistinct(col("value")).as("n_distinct_values"),
+        (if (approxDistinct) approx_count_distinct(col("value"))
+         else countDistinct(col("value"))).as("n_distinct_values"),
         min(col("value")).as("example_min"),
         max(col("value")).as("example_max"),
         min(col("value").try_cast(org.apache.spark.sql.types.DoubleType))

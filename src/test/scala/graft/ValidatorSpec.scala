@@ -553,6 +553,114 @@ class ValidatorSpec extends SparkSpec {
     assert(out === Map(1L -> "und:t", 2L -> "en:t"))
   }
 
+  test("normalizeDocument: dotted-path defaults + coercions rebuild the struct in place") {
+    val df = Seq(
+      (1L, Some(("x", 10L)), "keep"),
+      (2L, Some((null.asInstanceOf[String], 20L)), "keep"),
+      (3L, None, "keep") // null parent struct: nothing injected
+    ).toDF("id", "raw", "other")
+      .select($"id",
+        when($"raw".isNotNull,
+          struct($"raw._1".as("region"), $"raw._2".as("size"))).as("meta"),
+        $"other")
+    val schema = Schema.of(
+      "id" -> FieldSpec(required = true),
+      "meta.region" -> FieldSpec(default = Some("unk"), normalize = Some(upper(_))),
+      "meta.tag" -> FieldSpec(default = Some("t0"))) // leaf CREATED
+    val out = Validator.normalizeDocument(df, schema)
+    val got = out
+      .select($"id", $"meta.region", $"meta.size", $"meta.tag")
+      .as[(Long, String, Option[Long], String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === (("X", Some(10L), "t0")))
+    assert(got(2L) === (("UNK", Some(20L), "t0"))) // defaulted THEN coerced
+    assert(got(3L) === ((null, None, null))) // null parent propagates
+    // sibling columns and untouched struct fields survive
+    assert(out.columns.toSeq === Seq("id", "meta", "other"))
+    // misconfig: dotted default whose parent is no struct of the frame
+    assertThrows[IllegalArgumentException] {
+      Validator.normalizeDocument(df,
+        Schema.of("nope.x" -> FieldSpec(default = Some("v"))))
+    }
+    // misconfig: dotted rename stays rejected (struct surgery)
+    assertThrows[IllegalArgumentException] {
+      Validator.normalizeDocument(df,
+        Schema.of("meta.region" -> FieldSpec(rename = Some("r"))))
+    }
+    // idempotent: re-normalizing changes nothing
+    val twice = Validator.normalizeDocument(out, schema)
+    assert(twice.exceptAll(out).isEmpty && out.exceptAll(twice).isEmpty)
+  }
+
+  test("normalizationActions mirrors dotted injections (parent-null rows record nothing)") {
+    val df = Seq(
+      (1L, Some(Tuple1(null.asInstanceOf[String]))),
+      (2L, Some(Tuple1("x"))),
+      (3L, None)
+    ).toDF("id", "raw")
+      .select($"id",
+        when($"raw".isNotNull, struct($"raw._1".as("region"))).as("meta"))
+    val schema = Schema.of(
+      "meta.region" -> FieldSpec(default = Some("unk")),
+      "meta.tag" -> FieldSpec(default = Some("t0")))
+    val acts = Validator.normalizationActions(df, schema, Seq("id"))
+      .select($"id", $"field", $"value").as[(Long, String, String)]
+      .collect().toSet
+    assert(acts === Set(
+      (1L, "meta.region", "unk"),
+      (1L, "meta.tag", "t0"),
+      (2L, "meta.tag", "t0"))) // id=3: null parent → no injection, no row
+  }
+
+  test("effective-name collision (rename onto another spec's name) rejected up front") {
+    // 'old' is ABSENT from the frame, so no frame-column collision
+    // fires — the schema-level effective-name check must still reject:
+    // two specs would fold defaults onto one output column.
+    val df = Seq((1L, "v")).toDF("id", "name")
+    assertThrows[IllegalArgumentException] {
+      Validator.normalizeDocument(df, Schema.of(
+        "old" -> FieldSpec(rename = Some("name"), default = Some("a")),
+        "name" -> FieldSpec(default = Some("b"))))
+    }
+  }
+
+  test("normalizeElements: per-element default + coercion, null element/array untouched") {
+    val df = Seq(
+      (1L, Seq(("a", Some(1L)), (null.asInstanceOf[String], None))),
+      (2L, Seq.empty[(String, Option[Long])])
+    ).toDF("id", "raw")
+      .select($"id", expr(
+        "transform(raw, e -> named_struct('name', e._1, 'n', e._2))")
+        .as("accs"))
+      .union(Seq((3L, null.asInstanceOf[String])).toDF("id", "x")
+        .select($"id", lit(null)
+          .cast("array<struct<name:string,n:bigint>>").as("accs")))
+    val schema = Schema.of(
+      "name" -> FieldSpec(normalize = Some(upper(_))),
+      "n" -> FieldSpec(default = Some(0L)),
+      "src" -> FieldSpec(default = Some("s0"))) // field CREATED per element
+    val out = Validator.normalizeElements(df, schema, "accs")
+    val byId = out.select($"id", $"accs").collect()
+      .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)).toMap
+    val els = byId(1L)
+    assert(els.map(e => (e.getString(0), e.getLong(1), e.getString(2))) ===
+      Seq(("A", 1L, "s0"), (null, 0L, "s0")))
+    assert(byId(2L).isEmpty) // empty array untouched
+    assert(byId(3L) == null) // null array untouched
+    // misconfigs rejected up front (E1)
+    assertThrows[IllegalArgumentException] { // defaultSetter is document-level
+      Validator.normalizeElements(df,
+        Schema.of("n" -> FieldSpec(defaultSetter = Some(lit(1L)))), "accs")
+    }
+    assertThrows[IllegalArgumentException] { // coercion on absent field, no default
+      Validator.normalizeElements(df,
+        Schema.of("ghost" -> FieldSpec(normalize = Some(upper(_)))), "accs")
+    }
+    assertThrows[IllegalArgumentException] { // not an array<struct>
+      Validator.normalizeElements(df.select($"id"), schema, "id")
+    }
+  }
+
   test("normalizeDocument is idempotent: re-normalizing a normalized frame is a no-op") {
     val df = Seq((1L, " x ", null.asInstanceOf[String])).toDF("id", "raw_name", "lang")
     val schema = Schema.of(
