@@ -597,6 +597,34 @@ object SparkEntry {
           lo = 100, hi = 400, q = 0.5)),
         groupCols = Seq("lang"))),
 
+    "q_expectations_rel_documents" -> ((s, dir) => {
+      // Baseline-RELATIVE expectation gates (round 5): each *_rel check
+      // gates current/previous of its base metric, previous = a stored
+      // evaluate() snapshot. Baseline = even-doc_id half WITHOUT fr,
+      // current = odd half WITHOUT de — so fr rows exercise the
+      // no-baseline-must-FAIL rule, de rows the vanished-group rule,
+      // and the remaining langs ratio ≈ 1 inside their declared bands.
+      // (The persisted-store path over the same engine is pinned in
+      // ExpectationsSpec — the contract entry stays filesystem-free.)
+      import graft.verdict.Expectations.{Expect, evaluate, evaluateRelative}
+      val d = docs(s, dir)
+        .withColumn("grp", coalesce(col("lang"), lit("__null__")))
+        .withColumn("region_hint", when(col("n_chars") <= 500, col("lang")))
+      val baseChecks = Seq(Expect("row_count"),
+        Expect("null_frac", "region_hint"),
+        Expect("distinct", "source"), Expect("mean", "n_chars"))
+      val baseline = evaluate(
+        d.where(col("doc_id") % 2 === 0 && col("grp") =!= "fr"),
+        baseChecks, Seq("grp"))
+      evaluateRelative(
+        d.where(col("doc_id") % 2 === 1 && col("grp") =!= "de"),
+        Seq(Expect("row_count_rel", lo = 0.5, hi = 2.0),
+          Expect("null_frac_rel", "region_hint", lo = 0.25, hi = 4.0),
+          Expect("distinct_rel", "source", lo = 0.5, hi = 2.0),
+          Expect("mean_rel", "n_chars", lo = 0.9, hi = 1.1)),
+        baseline, Seq("grp"))
+    }),
+
     "q_rule_breakdown_documents" -> ((s, dir) =>
       // Per-(field, rule, severity) triage rollup: which rules fired,
       // how often, over how many distinct values, with the value range
@@ -1565,6 +1593,46 @@ object SparkEntry {
         |UNION ALL
         |SELECT lang, 'quantile', 'n_chars', 0.5 AS q, med_nc, 100.0, 400.0,
         | med_nc >= 100.0 AND med_nc <= 400.0 FROM g""".stripMargin,
+
+    // Both snapshot aggregations + the full-outer group alignment +
+    // every ratio/pass re-derived; NULL ratios (fr = no baseline,
+    // de = vanished group) must FAIL their bounded checks.
+    "q_expectations_rel_documents" -> {
+      def arm(check: String, column: String, c: String, b: String,
+          lo: String, hi: String) =
+        s"""SELECT grp, '$check' AS "check", '$column' AS "column",
+           | $c AS "current", $b AS previous,
+           | CASE WHEN $b IS NOT NULL AND $b <> 0 THEN $c / $b END AS observed,
+           | $lo AS lo, $hi AS hi,
+           | coalesce((CASE WHEN $b IS NOT NULL AND $b <> 0 THEN $c / $b END) >= $lo
+           |  AND (CASE WHEN $b IS NOT NULL AND $b <> 0 THEN $c / $b END) <= $hi,
+           |  FALSE) AS pass
+           |FROM j""".stripMargin
+      """WITH d AS (SELECT *, coalesce(lang, '__null__') AS grp,
+        |  CASE WHEN n_chars <= 500 THEN lang END AS region_hint
+        | FROM documents),
+        |b AS (SELECT grp, CAST(count(*) AS DOUBLE) AS rc,
+        |  avg(CASE WHEN region_hint IS NULL THEN 1.0 ELSE 0.0 END) AS nf,
+        |  CAST(count(DISTINCT source) AS DOUBLE) AS nd,
+        |  avg(CAST(n_chars AS DOUBLE)) AS mn
+        | FROM d WHERE doc_id % 2 = 0 AND grp <> 'fr' GROUP BY grp),
+        |c AS (SELECT grp, CAST(count(*) AS DOUBLE) AS rc,
+        |  avg(CASE WHEN region_hint IS NULL THEN 1.0 ELSE 0.0 END) AS nf,
+        |  CAST(count(DISTINCT source) AS DOUBLE) AS nd,
+        |  avg(CAST(n_chars AS DOUBLE)) AS mn
+        | FROM d WHERE doc_id % 2 = 1 AND grp <> 'de' GROUP BY grp),
+        |j AS (SELECT coalesce(c.grp, b.grp) AS grp,
+        |  c.rc AS c_rc, b.rc AS b_rc, c.nf AS c_nf, b.nf AS b_nf,
+        |  c.nd AS c_nd, b.nd AS b_nd, c.mn AS c_mn, b.mn AS b_mn
+        | FROM c FULL OUTER JOIN b ON c.grp = b.grp)
+        |""".stripMargin +
+        Seq(
+          arm("row_count_rel", "", "c_rc", "b_rc", "0.5", "2.0"),
+          arm("null_frac_rel", "region_hint", "c_nf", "b_nf", "0.25", "4.0"),
+          arm("distinct_rel", "source", "c_nd", "b_nd", "0.5", "2.0"),
+          arm("mean_rel", "n_chars", "c_mn", "b_mn", "0.9", "1.1")
+        ).mkString("\nUNION ALL\n")
+    },
 
     "q_rule_breakdown_documents" ->
       s"""SELECT field, rule, severity, count(*) AS n_violations,

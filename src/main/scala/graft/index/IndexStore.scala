@@ -50,6 +50,7 @@ object IndexStore {
   final case class IvfMeta(kind: String, dim: Int, nLists: Int, iters: Int, seed: Long)
   final case class BloomMeta(kind: String, keys: String, expectedItems: Long, fpp: Double)
   final case class DriftMeta(kind: String, valueCol: String, groupCols: String, edges: Seq[Double])
+  final case class ExpectationsMeta(kind: String, groupCols: String)
 
   // -------------------------------------------------------------------
   // meta sidecar
@@ -477,5 +478,98 @@ object IndexStore {
       graft.drift.Drift.binsByEdges(
         slice, meta.valueCol, groupCols, meta.edges.toArray),
       s"$path/data")
+  }
+
+  // -------------------------------------------------------------------
+  // Expectation-observation snapshots (baseline-relative gates:
+  // "a snapshot 40% smaller than YESTERDAY'S" needs yesterday's
+  // observations persisted — no static bound can express it)
+  // -------------------------------------------------------------------
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Persist one snapshot's [[graft.verdict.Expectations.evaluate]]
+    * output, tagged `(snapshot_id, seq)` — append-only history; `seq`
+    * is max(stored)+1 so the LATEST snapshot is well-defined without a
+    * wall clock. O(groups × checks) rows per snapshot. Single-writer,
+    * like every append path (object scaladoc). Returns rows appended.
+    */
+  def appendExpectationSnapshot(
+      df: DataFrame,
+      expects: Seq[graft.verdict.Expectations.Expect],
+      groupCols: Seq[String],
+      path: String,
+      snapshotId: String,
+      approxDistinct: Boolean = false): Long = {
+    val spark = df.sparkSession
+    val enc = Encoders.product[ExpectationsMeta]
+    val seq =
+      if (!exists(spark, s"$path/meta")) {
+        writeMeta(spark, path,
+          ExpectationsMeta("expectations", groupCols.mkString(",")))(enc)
+        0L
+      } else {
+        val meta = readMeta[ExpectationsMeta](spark, path, "expectations")(enc)
+        require(meta.groupCols == groupCols.mkString(","),
+          s"expectation store at $path was built with groupCols=" +
+            s"'${meta.groupCols}', not '${groupCols.mkString(",")}'")
+        spark.read.parquet(s"$path/data")
+          .agg(max(col("seq"))).head().getLong(0) + 1L
+      }
+    appendCounted(
+      graft.verdict.Expectations.evaluate(df, expects, groupCols, approxDistinct)
+        .withColumn("snapshot_id", lit(snapshotId))
+        .withColumn("seq", lit(seq)),
+      s"$path/data")
+  }
+
+  /** The LATEST stored snapshot's observation rows (max `seq`) + meta. */
+  def loadLatestExpectations(
+      spark: SparkSession,
+      path: String): (DataFrame, ExpectationsMeta) = {
+    val meta = readMeta[ExpectationsMeta](spark, path, "expectations")(
+      Encoders.product[ExpectationsMeta])
+    val all = spark.read.parquet(s"$path/data")
+    val latest = all.agg(max(col("seq"))).head().getLong(0)
+    (all.where(col("seq") === latest), meta)
+  }
+
+  /** Relative expectation gates of `cur` against the LATEST stored
+    * snapshot ([[graft.verdict.Expectations.evaluateRelative]]).
+    * FIRST RUN (no store at `path` yet): evaluated against an EMPTY
+    * baseline, so every bounded relative check FAILS — "no history"
+    * must not pass a gate that asked for a comparison (the same
+    * no-signal rule as an all-null mean). Bootstrap by storing the
+    * first snapshot via [[appendExpectationSnapshot]] and gating from
+    * the second run on.
+    */
+  def expectationsAgainstBaseline(
+      cur: DataFrame,
+      expects: Seq[graft.verdict.Expectations.Expect],
+      groupCols: Seq[String],
+      path: String,
+      approxDistinct: Boolean = false): DataFrame = {
+    val spark = cur.sparkSession
+    val baseline =
+      if (!exists(spark, s"$path/meta"))
+        // Typed empty frame (group columns borrowed from `cur` so join
+        // key types line up) — the first-run FAIL path.
+        cur.select(groupCols.map(col): _*)
+          .withColumn("check", lit(""))
+          .withColumn("column", lit(""))
+          .withColumn("observed", lit(0d))
+          .limit(0)
+      else {
+        val (snap, meta) = loadLatestExpectations(spark, path)
+        require(meta.groupCols == groupCols.mkString(","),
+          s"expectation store at $path was built with groupCols=" +
+            s"'${meta.groupCols}', not '${groupCols.mkString(",")}'")
+        snap
+      }
+    graft.verdict.Expectations.evaluateRelative(
+      cur, expects, baseline, groupCols, approxDistinct)
   }
 }

@@ -49,6 +49,15 @@ object Expectations {
     *     pinned against exact in ExpectationsSpec, not
     *     oracle-replayable).
     *
+    * RELATIVE kinds (`row_count_rel`, `null_frac_rel`, `distinct_rel`,
+    * `mean_rel` — [[evaluateRelative]] only): the bound gates the
+    * RATIO current / previous of the base metric against a persisted
+    * prior run's observations — "a snapshot 40% smaller than
+    * yesterday's" is `Expect("row_count_rel", lo = 0.6)`. No static
+    * bound can express these; see
+    * [[graft.index.IndexStore.appendExpectationSnapshot]] for the
+    * snapshot store.
+    *
     * Unbounded sides default to ±∞.
     */
   final case class Expect(
@@ -57,9 +66,10 @@ object Expectations {
       lo: Double = Double.NegativeInfinity,
       hi: Double = Double.PositiveInfinity,
       q: Double = Double.NaN) {
-    require(Expect.kinds.contains(check),
-      s"unknown check '$check' (closed vocabulary: ${Expect.kinds.toSeq.sorted.mkString(", ")})")
-    require(check == "row_count" || column.nonEmpty,
+    require(Expect.kinds.contains(check) || Expect.relKinds.contains(check),
+      s"unknown check '$check' (closed vocabulary: " +
+        s"${(Expect.kinds ++ Expect.relKinds).toSeq.sorted.mkString(", ")})")
+    require(check.startsWith("row_count") || column.nonEmpty,
       s"check '$check' needs a column")
     require(lo <= hi, s"empty bound [$lo, $hi] for $check($column)")
     // q is quantile-only; setting it on another check is the typo'd-
@@ -82,6 +92,17 @@ object Expectations {
     val kinds: Set[String] =
       Set("row_count", "null_frac", "distinct", "unique_frac",
         "mean", "min", "max", "quantile", "quantile_approx")
+
+    /** Baseline-relative kinds: ratio of the base metric vs a stored
+      * prior run ([[evaluateRelative]]). Quantile/min/max ratios are
+      * deliberately absent — scale-dependent location metrics compare
+      * meaningfully through `mean_rel` or absolute bounds.
+      */
+    val relKinds: Set[String] =
+      Set("row_count_rel", "null_frac_rel", "distinct_rel", "mean_rel")
+
+    /** `row_count_rel` → `row_count`. */
+    def baseKind(check: String): String = check.stripSuffix("_rel")
   }
 
   private def observe(e: Expect, approxDistinct: Boolean): Column = {
@@ -122,6 +143,9 @@ object Expectations {
       groupCols: Seq[String] = Nil,
       approxDistinct: Boolean = false): DataFrame = {
     require(expects.nonEmpty, "evaluate needs at least one expectation")
+    expects.foreach(e => require(Expect.kinds.contains(e.check),
+      s"'${e.check}' is a relative check — it needs a baseline; " +
+        "use evaluateRelative"))
     val aggs = expects.zipWithIndex.map { case (e, i) =>
       observe(e, approxDistinct).as(s"__obs$i")
     }
@@ -164,6 +188,108 @@ object Expectations {
       groupCols: Seq[String] = Nil,
       approxDistinct: Boolean = false): Boolean = {
     val r = evaluate(df, expects, groupCols, approxDistinct)
+      .agg(count(lit(1)), sum(when(!col("pass"), 1L).otherwise(0L)))
+      .first()
+    r.getLong(0) > 0 && r.getLong(1) == 0L
+  }
+
+  /** Evaluate baseline-RELATIVE expectations: each `*_rel` check gates
+    * the ratio `current / previous` of its base metric, where
+    * `previous` comes from `baseline` — a stored [[evaluate]] output
+    * (same groupCols; see
+    * [[graft.index.IndexStore.appendExpectationSnapshot]]).
+    *
+    * Output: one row per (group ∪ groups-only-in-baseline, declared
+    * check) with `(…groupCols, check, column, current, previous,
+    * observed = ratio, lo, hi, pass)`.
+    *
+    * No-signal rule, applied to history: the ratio is NULL — and so
+    * every bounded relative check FAILS — whenever
+    *   - the baseline has no matching row (FIRST RUN, or a group that
+    *     appeared since): nothing to compare against must not pass a
+    *     gate that asked for a comparison;
+    *   - `previous == 0` (a zero-baseline metric has no meaningful
+    *     ratio; declare an absolute bound for that case);
+    *   - the group VANISHED since the baseline (present there, absent
+    *     now): surfaced via the full-outer group alignment with
+    *     `current` null — a disappeared partition is exactly the
+    *     regression a relative gate exists to catch.
+    *
+    * Scale: current observations are ONE aggregation over `df` (same
+    * plan as [[evaluate]]); the baseline side and the declared-bounds
+    * frame are O(groups × checks) and O(checks) — broadcast joins,
+    * never corpus-sized.
+    */
+  def evaluateRelative(
+      df: DataFrame,
+      expects: Seq[Expect],
+      baseline: DataFrame,
+      groupCols: Seq[String] = Nil,
+      approxDistinct: Boolean = false): DataFrame = {
+    require(expects.nonEmpty, "evaluateRelative needs at least one expectation")
+    expects.foreach(e => require(Expect.relKinds.contains(e.check),
+      s"'${e.check}' is an absolute check — use evaluate; " +
+        s"relative vocabulary: ${Expect.relKinds.toSeq.sorted.mkString(", ")}"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    // Distinct base metrics to observe on the CURRENT frame (two rel
+    // checks over one metric with different bands share one aggregate).
+    val bases = expects.map(e => (Expect.baseKind(e.check), e.column)).distinct
+    val aggs = bases.zipWithIndex.map { case ((k, c), i) =>
+      observe(Expect(k, c), approxDistinct).as(s"__obs$i")
+    }
+    val agged =
+      if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val curRows = bases.zipWithIndex.map { case ((k, c), i) =>
+      struct(lit(k).as("check"), lit(c).as("column"),
+        col(s"__obs$i").as("current"))
+    }
+    val curLong = agged
+      .select(groupCols.map(col) :+ explode(array(curRows: _*)).as("e"): _*)
+      .select(groupCols.map(col) :+ col("e.*"): _*)
+    // Baseline lookup rows. Re-aggregating per key tolerates a baseline
+    // holding duplicate declared bounds over one metric (the observed
+    // value is identical per key, so max is exact, not a choice).
+    val baseLong = baseline
+      .where(col("check").isin(bases.map(_._1).distinct: _*))
+      .groupBy((groupCols :+ "check" :+ "column").map(col): _*)
+      .agg(max(col("observed")).as("previous"))
+    // Full-outer on (group, metric): current-only rows are new/first-run
+    // groups, baseline-only rows are vanished groups — both must surface
+    // as failing verdict rows, not silently drop.
+    val joined = curLong.join(
+      baseLong, groupCols ++ Seq("check", "column"), "full_outer")
+    val bounds = broadcast(
+      expects.map(e => (Expect.baseKind(e.check), e.column, e.lo, e.hi))
+        .toDF("check", "column", "lo", "hi"))
+    val ratio =
+      when(col("previous").isNotNull && col("previous") =!= 0d,
+        col("current") / col("previous"))
+    joined.join(bounds, Seq("check", "column"))
+      .select(
+        groupCols.map(col) ++ Seq(
+          concat(col("check"), lit("_rel")).as("check"),
+          col("column"),
+          col("current"),
+          col("previous"),
+          ratio.as("observed"),
+          col("lo"),
+          col("hi"),
+          coalesce(ratio >= col("lo") && ratio <= col("hi"), lit(false))
+            .as("pass")): _*)
+  }
+
+  /** [[holds]] for a relative suite — fails on zero verdict rows (both
+    * snapshot slices empty) like the absolute gate.
+    */
+  def holdsRelative(
+      df: DataFrame,
+      expects: Seq[Expect],
+      baseline: DataFrame,
+      groupCols: Seq[String] = Nil,
+      approxDistinct: Boolean = false): Boolean = {
+    val r = evaluateRelative(df, expects, baseline, groupCols, approxDistinct)
       .agg(count(lit(1)), sum(when(!col("pass"), 1L).otherwise(0L)))
       .first()
     r.getLong(0) > 0 && r.getLong(1) == 0L

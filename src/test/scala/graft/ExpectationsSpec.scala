@@ -137,4 +137,89 @@ class ExpectationsSpec extends SparkSpec {
     assert(empty.isNullAt(empty.fieldIndex("observed")))
     assert(!empty.getAs[Boolean]("pass"))
   }
+
+  test("evaluateRelative: ratio gates, missing-baseline and vanished-group rows fail") {
+    val base = Seq(("a", 1), ("a", 2), ("b", 1), ("gone", 1))
+      .toDF("g", "v")
+    val cur = Seq(("a", 2), ("a", 4), ("a", 6), ("b", 1), ("new", 9))
+      .toDF("g", "v")
+    val baseline = Expectations.evaluate(base,
+      Seq(Expect("row_count"), Expect("mean", "v")), Seq("g"))
+    val out = Expectations.evaluateRelative(cur,
+        Seq(Expect("row_count_rel", lo = 0.5, hi = 2.0),
+          Expect("mean_rel", "v", lo = 0.5, hi = 2.0)),
+        baseline, Seq("g"))
+      .collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[String]("check")) -> r).toMap
+    // a: 3/2 rows, mean 4/1.5 — row_count passes, mean ratio 2.67 fails
+    assert(out(("a", "row_count_rel")).getAs[Double]("observed") === 1.5)
+    assert(out(("a", "row_count_rel")).getAs[Boolean]("pass"))
+    assert(!out(("a", "mean_rel")).getAs[Boolean]("pass"))
+    // b unchanged: ratio exactly 1.0, passes
+    assert(out(("b", "mean_rel")).getAs[Double]("observed") === 1.0)
+    assert(out(("b", "mean_rel")).getAs[Boolean]("pass"))
+    // new group: no baseline row → null ratio → FAILS (first-run rule)
+    val nw = out(("new", "row_count_rel"))
+    assert(nw.isNullAt(nw.fieldIndex("previous")))
+    assert(!nw.getAs[Boolean]("pass"))
+    // vanished group: baseline row, no current → surfaces and FAILS
+    val gone = out(("gone", "row_count_rel"))
+    assert(gone.isNullAt(gone.fieldIndex("current")))
+    assert(!gone.getAs[Boolean]("pass"))
+    // zero previous: ratio undefined → fails even a wide bound
+    val z = Expectations.evaluateRelative(
+      Seq(("a", null.asInstanceOf[String])).toDF("g", "s"),
+      Seq(Expect("null_frac_rel", "s", lo = 0.0, hi = 100.0)),
+      Expectations.evaluate(Seq(("a", "x")).toDF("g", "s"),
+        Seq(Expect("null_frac", "s")), Seq("g")),
+      Seq("g")).first()
+    assert(z.getAs[Double]("previous") === 0.0)
+    assert(z.isNullAt(z.fieldIndex("observed")) && !z.getAs[Boolean]("pass"))
+    // misconfig: kind/entry-point mismatch rejected up front
+    assertThrows[IllegalArgumentException] {
+      Expectations.evaluate(cur, Seq(Expect("row_count_rel", lo = 1)))
+    }
+    assertThrows[IllegalArgumentException] {
+      Expectations.evaluateRelative(cur, Seq(Expect("row_count", lo = 1)),
+        baseline)
+    }
+    assertThrows[IllegalArgumentException] { Expect("mean_rel", "v", q = 0.5) }
+  }
+
+  test("expectation snapshot store: first run fails, stored baseline gates, latest wins") {
+    import graft.index.IndexStore
+    val dir = java.nio.file.Files.createTempDirectory("graft-expstore").toString
+    val path = s"$dir/exp"
+    val checks = Seq(Expect("row_count_rel", lo = 0.5, hi = 2.0))
+    val snap1 = Seq(("a", 1), ("a", 2), ("b", 1)).toDF("g", "v")
+    val snap2 = Seq(("a", 1), ("b", 1), ("b", 2)).toDF("g", "v")
+    // FIRST RUN — no store: every bounded relative check FAILS
+    val first = IndexStore.expectationsAgainstBaseline(
+      snap1, checks, Seq("g"), path)
+    assert(first.count() === 2 && first.where(col("pass")).count() === 0)
+    // bootstrap snapshot 1, gate snapshot 2 against it: a 2/1, b 1/2
+    IndexStore.appendExpectationSnapshot(snap1,
+      Seq(Expect("row_count")), Seq("g"), path, "s1")
+    val second = IndexStore.expectationsAgainstBaseline(
+        snap2, checks, Seq("g"), path)
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(second("a").getAs[Double]("observed") === 0.5)
+    assert(second("a").getAs[Boolean]("pass"))
+    assert(second("b").getAs[Double]("observed") === 2.0)
+    // append snapshot 2 → LATEST (not first) becomes the baseline
+    IndexStore.appendExpectationSnapshot(snap2,
+      Seq(Expect("row_count")), Seq("g"), path, "s2")
+    val third = IndexStore.expectationsAgainstBaseline(
+        snap2, checks, Seq("g"), path)
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(third("a").getAs[Double]("observed") === 1.0)
+    assert(third("b").getAs[Double]("observed") === 1.0)
+    val (latest, meta) = IndexStore.loadLatestExpectations(spark, path)
+    assert(meta.groupCols === "g")
+    assert(latest.select("snapshot_id").distinct().head().getString(0) === "s2")
+    // groupCols drift against the stored meta is rejected loudly
+    assertThrows[IllegalArgumentException] {
+      IndexStore.expectationsAgainstBaseline(snap2, checks, Seq("v"), path)
+    }
+  }
 }
