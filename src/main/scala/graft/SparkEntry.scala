@@ -229,6 +229,84 @@ object SparkEntry {
         .mkString("\nUNION ALL\n")
   }
 
+  /** Oracle for `q_schema_diff_documents`: re-derive every aspect of
+    * BOTH induced schemas (bounds, length bounds, required flags,
+    * allowed sets under the ≤20-cardinality presence guard) from the
+    * two slices and emit exactly the rows where they differ, with the
+    * engine's change classification (subset ⇒ tightened/loosened,
+    * incomparable ⇒ changed) and canonical renderings (integral bounds
+    * without `.0`, sets sorted comma-joined).
+    */
+  private val schemaDiffSql: String = {
+    val numFields = Seq("doc_id", "n_chars")
+    val strFields = Seq("text", "lang", "source")
+    def scal(agg: String, from: String) = s"(SELECT $agg FROM $from)"
+    // required/nullable: induced from "slice has zero nulls" per side.
+    def reqArms(f: String) = {
+      val b = s"(${scal(s"count(*) - count($f)", "documents")} = 0)"
+      val a = s"(${scal(s"count(*) - count($f)", "flt")} = 0)"
+      Seq(
+        s"""SELECT '$f' AS field, 'required' AS aspect,
+           | CAST($b AS VARCHAR) AS before, CAST($a AS VARCHAR) AS after,
+           | CASE WHEN $a THEN 'tightened' ELSE 'loosened' END AS change
+           |WHERE $b <> $a""".stripMargin,
+        s"""SELECT '$f', 'nullable', CAST(NOT $b AS VARCHAR),
+           | CAST(NOT $a AS VARCHAR),
+           | CASE WHEN $a THEN 'tightened' ELSE 'loosened' END
+           |WHERE $b <> $a""".stripMargin)
+    }
+    // numeric min/max: integral rendering (engine fmtNum strips .0).
+    def numArm(f: String, aspect: String, fn: String, tightDir: String) = {
+      val b = s"CAST(CAST(${scal(s"$fn($f)", "documents")} AS BIGINT) AS VARCHAR)"
+      val a = s"CAST(CAST(${scal(s"$fn($f)", "flt")} AS BIGINT) AS VARCHAR)"
+      val bd = scal(s"$fn($f)", "documents")
+      val ad = scal(s"$fn($f)", "flt")
+      s"""SELECT '$f', '$aspect', $b, $a,
+         | CASE WHEN $ad $tightDir $bd THEN 'tightened' ELSE 'loosened' END
+         |WHERE $bd <> $ad""".stripMargin
+    }
+    def lenArm(f: String, aspect: String, fn: String, tightDir: String) = {
+      val bd = scal(s"$fn(length(CAST($f AS VARCHAR)))", "documents")
+      val ad = scal(s"$fn(length(CAST($f AS VARCHAR)))", "flt")
+      s"""SELECT '$f', '$aspect', CAST($bd AS VARCHAR), CAST($ad AS VARCHAR),
+         | CASE WHEN $ad $tightDir $bd THEN 'tightened' ELSE 'loosened' END
+         |WHERE $bd <> $ad""".stripMargin
+    }
+    // allowed: present iff exact cardinality ≤ 20 and the slice has
+    // non-null values; subset direction classifies. Lists live in a
+    // per-field CTE (list_has_all rejects scalar-subquery arguments).
+    def setsCte(f: String) = {
+      def has(from: String) =
+        s"(${scal(s"count(DISTINCT $f)", from)} <= 20 AND ${scal(s"count($f)", from)} > 0)"
+      def lst(from: String) =
+        scal(s"list_sort(list(DISTINCT $f))", s"$from WHERE $f IS NOT NULL")
+      s"""sets_$f AS (SELECT ${has("documents")} AS bh, ${has("flt")} AS ah,
+         | ${lst("documents")} AS bl, ${lst("flt")} AS al)""".stripMargin
+    }
+    def allowedArm(f: String) =
+      s"""SELECT '$f', 'allowed',
+         | CASE WHEN bh THEN array_to_string(bl, ',') END,
+         | CASE WHEN ah THEN array_to_string(al, ',') END,
+         | CASE WHEN bh AND NOT ah THEN 'loosened'
+         |      WHEN ah AND NOT bh THEN 'tightened'
+         |      WHEN list_has_all(bl, al) THEN 'tightened'
+         |      WHEN list_has_all(al, bl) THEN 'loosened'
+         |      ELSE 'changed' END
+         |FROM sets_$f
+         |WHERE (bh OR ah)
+         |  AND (bh <> ah OR coalesce(array_to_string(bl, ','), '') <>
+         |                   coalesce(array_to_string(al, ','), ''))""".stripMargin
+    val arms =
+      numFields.flatMap(f => reqArms(f) ++ Seq(
+        numArm(f, "min", "min", ">"), numArm(f, "max", "max", "<"))) ++
+      strFields.flatMap(f => reqArms(f) ++ Seq(
+        lenArm(f, "minlength", "min", ">"), lenArm(f, "maxlength", "max", "<"),
+        allowedArm(f)))
+    ("WITH flt AS (SELECT * FROM documents WHERE lang <> 'fr' AND n_chars <= 500),\n" +
+      strFields.map(setsCte).mkString(",\n") + "\n") +
+      arms.mkString("\nUNION ALL\n")
+  }
+
   private def docViolationCountSql(severities: Set[String]): String = docRuleSql
     .collect { case (_, _, pred, _, sev) if severities(sev) =>
       s"(CASE WHEN $pred THEN 1 ELSE 0 END)"
@@ -644,6 +722,21 @@ object SparkEntry {
         d.where(col("doc_id") % 3 === 0),
         Seq("doc_id", "text", "lang", "source", "n_chars"))
       Validator.violations(d.where(col("doc_id") % 3 =!= 0), schema, Seq("doc_id"))
+    }),
+
+    "q_schema_diff_documents" -> ((s, dir) => {
+      // Rule-level schema drift (round 5): induce the strictest schema
+      // from the full table and from a filtered "cleaned" snapshot
+      // (no fr, no oversized docs), then diff — the tightened rows
+      // forecast which violations the new snapshot's rules would raise
+      // on the old corpus. The oracle re-derives every aspect of both
+      // induced schemas from the two slices and replays the diff.
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val flds = Seq("doc_id", "text", "lang", "source", "n_chars")
+      val before = graft.schema.Induction.suggestSchema(d, flds)
+      val after = graft.schema.Induction.suggestSchema(
+        d.where(col("lang") =!= "fr" && col("n_chars") <= 500), flds)
+      graft.schema.Induction.diff(s, before, after)
     }),
 
     "q_temperature_documents" -> ((s, dir) =>
@@ -1557,6 +1650,7 @@ object SparkEntry {
         |WHERE rk <= 7""".stripMargin,
 
     "q_induced_validate_documents" -> inducedValidateSql,
+    "q_schema_diff_documents" -> schemaDiffSql,
 
     "q_expectations_documents" ->
       """WITH g AS (

@@ -77,9 +77,20 @@ object Dedup {
         count(lit(1)).as("n_distinct"),
         sum(when(col("__n") > 1, col("__n") - 1).otherwise(0L)).as("n_dup_rows"))
 
-  /** Keep the min-id row per distinct content (deterministic survivor). */
-  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(contentHash(textCol)).orderBy(col(idCol))
+  /** Keep the min-id row per distinct content (deterministic survivor).
+    * `scopeCols` prefix the dedup key: survivors are then per (scope,
+    * content) — the partition-local semantics a per-partition resumable
+    * pipeline needs (processing any subset of scopes yields identical
+    * per-scope results regardless of batching).
+    */
+  def exactDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      scopeCols: Seq[String] = Nil): DataFrame = {
+    val w = Window
+      .partitionBy(scopeCols.map(col) :+ contentHash(textCol): _*)
+      .orderBy(col(idCol))
     df.where(col(textCol).isNotNull)
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)

@@ -88,7 +88,9 @@ object Packing {
 
   /** Adds `pack_bucket` and `pack_id` to every row. Rows with null id
     * or null/≤0 weight are excluded (a doc with no tokens has no place
-    * in a pack).
+    * in a pack). `scopeCols` prefix the bucket key: packs then never
+    * cross a scope (partition) — the semantics a per-partition
+    * resumable pipeline needs, identical for any batching of scopes.
     */
   def packByBudget(
       df: DataFrame,
@@ -96,11 +98,12 @@ object Packing {
       weightCol: String,
       budget: Long,
       nBuckets: Int = 64,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      scopeCols: Seq[String] = Nil): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     val w = Window
-      .partitionBy(col("pack_bucket"))
+      .partitionBy(scopeCols.map(col) :+ col("pack_bucket"): _*)
       .orderBy(col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     packable(df, idCol, weightCol)

@@ -48,12 +48,35 @@ object CorpusPipeline {
   /** The curated, pack-annotated corpus (one row per surviving doc with
     * `quality`, `pack_bucket`, `pack_id` columns).
     */
-  def curate(docs: DataFrame, cfg: Config): DataFrame = {
+  def curate(docs: DataFrame, cfg: Config): DataFrame =
+    curateScoped(docs, cfg, Nil)
+
+  /** [[curate]] with every CROSS-ROW stage scoped to `partitionCol`:
+    * dedup survivors are per (partition, content) and packs never cross
+    * a partition, so each partition's output is a pure function of that
+    * partition's rows — identical whether partitions are processed all
+    * at once or in resumed batches. That per-partition determinism is
+    * exactly what [[curateResumable]]'s commit protocol requires (and
+    * what a partition-committed pipeline means at 100 TB: corpus-GLOBAL
+    * dedup is its own upstream job — see [[graft.dedup.Dedup]] — not a
+    * per-partition stage). Per-row stages (validation, quality,
+    * sampling) are scope-independent by construction.
+    */
+  def curatePartitioned(
+      docs: DataFrame,
+      cfg: Config,
+      partitionCol: String): DataFrame =
+    curateScoped(docs, cfg, Seq(partitionCol))
+
+  private def curateScoped(
+      docs: DataFrame,
+      cfg: Config,
+      scopeCols: Seq[String]): DataFrame = {
     val clean = docs
       .withColumn("__n_err", RuleCompiler.errorCount(cfg.schema))
       .where(col("__n_err") === 0)
       .drop("__n_err")
-    val deduped = Dedup.exactDedup(clean, cfg.idCol, cfg.textCol)
+    val deduped = Dedup.exactDedup(clean, cfg.idCol, cfg.textCol, scopeCols)
     val scored = TextAnalysis.qualityFeatures(deduped, cfg.textCol)
       .where(col("quality") >= cfg.qualityMin)
       .select(deduped.columns.map(col) :+ col("quality"): _*)
@@ -61,7 +84,7 @@ object CorpusPipeline {
       cfg.sampleRates, cfg.defaultRate, cfg.seed)
     Packing.packByBudget(packable(sampled, cfg)
         .withColumn("__w", length(col(cfg.textCol))),
-      cfg.idCol, "__w", cfg.packBudget, cfg.packBuckets, cfg.seed)
+      cfg.idCol, "__w", cfg.packBudget, cfg.packBuckets, cfg.seed, scopeCols)
       .drop("__w")
   }
 
@@ -148,5 +171,98 @@ object CorpusPipeline {
       struct(lit("4_sampled").as("stage"), col("n4").as("n_rows")),
       struct(lit("5_packs").as("stage"), col("n5").as("n_rows")))).as("s"))
       .select(col("s.stage").as("stage"), col("s.n_rows").as("n_rows"))
+  }
+
+  /** Outcome of one [[curateResumable]] invocation: partitions this run
+    * processed, partitions already committed before it, and the full
+    * curated table (all committed partitions) read back from `outDir`.
+    */
+  final case class ResumeReport(
+      runId: String,
+      pending: Seq[String],
+      skipped: Long,
+      curated: DataFrame)
+
+  /** RESUMABLE curation: [[curatePartitioned]] composed with the
+    * [[graft.resume.Checkpoint]] commit protocol — the funnel resumes
+    * per input partition exactly like validation does
+    * ([[graft.resume.ValidationRun]]):
+    *
+    *   1. pending = input partitions with no manifest row (anti-join
+    *      against the O(partitions) manifest — prior OUTPUT is never
+    *      rescanned to decide work);
+    *   2. ONE job curates every pending partition together (one
+    *      predicate → scan pruning; no driver-side per-partition loop)
+    *      and writes `outDir/curated/<partitionCol>=…` via dynamic
+    *      partition overwrite — a crashed run's partial partitions are
+    *      rewritten bit-identically on retry (per-partition
+    *      determinism, [[curatePartitioned]]);
+    *   3. the manifest append is the single commit point, AFTER the
+    *      data write: per partition `n_rows` = input rows, `n_bad_rows`
+    *      = rows the whole funnel dropped, `n_violations` = rule
+    *      violations observed, `pass` = zero failing-channel
+    *      violations (the same manifest schema as validation — one
+    *      resume protocol across the engine).
+    *
+    * A killed run leaves at worst uncommitted partitions; re-running
+    * skips committed ones and produces a curated table identical to an
+    * uninterrupted run (pinned in PipelineSpec).
+    */
+  def curateResumable(
+      docs: DataFrame,
+      cfg: Config,
+      partitionCol: String,
+      outDir: String): ResumeReport = {
+    import graft.resume.Checkpoint
+    import org.apache.spark.sql.SaveMode
+    val spark = docs.sparkSession
+    val runId = java.util.UUID.randomUUID().toString
+    val t0 = System.currentTimeMillis()
+    val pendingParts = Checkpoint.pending(docs, partitionCol, outDir)
+    val done = Checkpoint.processed(spark, outDir).count()
+    def curatedTable(): DataFrame = spark.read.parquet(s"$outDir/curated")
+    if (pendingParts.isEmpty)
+      return ResumeReport(runId, Nil, done, curatedTable())
+
+    val slice = docs.where(Checkpoint.partitionFilter(partitionCol, pendingParts))
+    curatePartitioned(slice, cfg, partitionCol)
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(s"$outDir/curated")
+
+    // Manifest stats: one aggregate over the input slice (+ a
+    // metadata-cheap count of what landed), keyed by the sentinel-
+    // mapped partition value.
+    val partKey = coalesce(col(partitionCol).cast("string"),
+      lit(Checkpoint.NullPartitionToken)).as("partition")
+    val inStats = slice
+      .withColumn("__n_err", RuleCompiler.errorCount(cfg.schema))
+      .withColumn("__n_viol", RuleCompiler.violationCount(cfg.schema))
+      .groupBy(partKey)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("__n_viol").cast("long")).as("n_violations"),
+        (sum(col("__n_err").cast("long")) === 0L).as("pass"))
+    val outStats = curatedTable()
+      .select(coalesce(col(partitionCol).cast("string"),
+        lit(Checkpoint.NullPartitionToken)).as("partition"))
+      .where(col("partition").isin(pendingParts: _*))
+      .groupBy(col("partition"))
+      .agg(count(lit(1)).as("__n_out"))
+    val wallMs = System.currentTimeMillis() - t0
+    val entries = inStats
+      .join(outStats, Seq("partition"), "left_outer")
+      .select(
+        col("partition"),
+        lit(runId).as("run_id"),
+        col("n_rows"),
+        (col("n_rows") - coalesce(col("__n_out"), lit(0L))).as("n_bad_rows"),
+        col("n_violations"),
+        col("pass"),
+        lit(wallMs).as("wall_ms"),
+        lit(System.currentTimeMillis()).as("completed_at"))
+    Checkpoint.commit(spark, outDir, entries)
+    ResumeReport(runId, pendingParts, done, curatedTable())
   }
 }

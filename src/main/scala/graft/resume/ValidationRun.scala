@@ -43,16 +43,7 @@ object ValidationRun {
     if (pendingParts.isEmpty)
       return Report(runId, Nil, done, Checkpoint.processed(spark, outDir))
 
-    val hasNull = pendingParts.contains(Checkpoint.NullPartitionToken)
-    val concrete = pendingParts.filterNot(_ == Checkpoint.NullPartitionToken)
-    val partFilter = {
-      val in =
-        if (concrete.nonEmpty)
-          col(partitionCol).cast("string").isin(concrete: _*)
-        else lit(false)
-      if (hasNull) in || col(partitionCol).isNull else in
-    }
-    val slice = df.where(partFilter)
+    val slice = df.where(Checkpoint.partitionFilter(partitionCol, pendingParts))
 
     // Data writes first (per-partition dirs, dynamic overwrite keeps a
     // crashed-run retry idempotent) …

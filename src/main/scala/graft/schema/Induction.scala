@@ -1,6 +1,6 @@
 package graft.schema
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, DoubleType, NumericType, StringType}
 
@@ -156,5 +156,88 @@ object Induction {
       f -> spec
     }
     Schema.of(specs: _*)
+  }
+
+  /** Rule-level schema DRIFT: diff two [[Schema]]s (typically two
+    * [[suggestSchema]] runs over consecutive snapshots, or induced vs
+    * declared) into a typed report — the validation-engine complement
+    * of value-level KS/PSI drift: `(field, aspect, before, after,
+    * change)`, one row per aspect that DIFFERS (self-diff is empty).
+    *
+    * `change` classifies direction: `tightened` (the after-schema
+    * rejects more — a NEW rule, a higher min, a SMALLER allowed set),
+    * `loosened` (the reverse), `changed` (incomparable, e.g.
+    * overlapping allowed sets or a type swap), `added`/`removed` for
+    * whole fields. A tightened induced schema forecasts violations:
+    * yesterday-conforming rows may fail tomorrow's induced rules.
+    *
+    * Semantics grounding: the reference's version gate detects and
+    * refuses an incompatible snapshot SHAPE outright (reference
+    * rust/src/lib.rs:118-121) — this is that check generalized from
+    * one version integer to every rule aspect.
+    *
+    * Driver-side pure function over O(fields) specs — no job runs;
+    * aspect vocabulary: field presence, required, nullable, type,
+    * regex, min, max, minlength, maxlength, allowed, forbidden.
+    * Integral numeric bounds render without the trailing `.0` (the
+    * canonical cross-engine form); sets render sorted comma-joined.
+    */
+  def diff(spark: SparkSession, before: Schema, after: Schema): DataFrame = {
+    def fmtNum(d: Double): String =
+      if (!d.isInfinite && !d.isNaN && d == math.floor(d) && math.abs(d) < 1e15)
+        d.toLong.toString
+      else d.toString
+    def fmtSet(s: Seq[String]): String = s.sorted.mkString(",")
+    val bm = before.fields.toMap
+    val am = after.fields.toMap
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, String, String, String)]
+    (before.fieldNames ++ after.fieldNames).distinct.foreach { f =>
+      (bm.get(f), am.get(f)) match {
+        case (Some(_), None) => rows += ((f, "field", "present", null, "removed"))
+        case (None, Some(_)) => rows += ((f, "field", null, "present", "added"))
+        case (None, None) => // unreachable
+        case (Some(b), Some(a)) =>
+          // A rule APPEARING is tightened (new constraint), VANISHING is
+          // loosened; both present and rendering differently classifies
+          // via the aspect's own comparator.
+          def opt[T](aspect: String, bv: Option[T], av: Option[T])(
+              render: T => String)(cmp: (T, T) => String): Unit =
+            (bv, av) match {
+              case (None, Some(y)) => rows += ((f, aspect, null, render(y), "tightened"))
+              case (Some(x), None) => rows += ((f, aspect, render(x), null, "loosened"))
+              case (Some(x), Some(y)) if render(x) != render(y) =>
+                rows += ((f, aspect, render(x), render(y), cmp(x, y)))
+              case _ =>
+            }
+          if (b.required != a.required)
+            rows += ((f, "required", b.required.toString, a.required.toString,
+              if (a.required) "tightened" else "loosened"))
+          if (b.nullable != a.nullable)
+            rows += ((f, "nullable", b.nullable.toString, a.nullable.toString,
+              if (a.nullable) "loosened" else "tightened"))
+          opt("type", b.dtype, a.dtype)(_.simpleString)((_, _) => "changed")
+          opt("regex", b.regex, a.regex)(identity)((_, _) => "changed")
+          opt("min", b.min, a.min)(fmtNum)((x, y) =>
+            if (y > x) "tightened" else "loosened")
+          opt("max", b.max, a.max)(fmtNum)((x, y) =>
+            if (y < x) "tightened" else "loosened")
+          opt("minlength", b.minLength, a.minLength)(_.toString)((x, y) =>
+            if (y > x) "tightened" else "loosened")
+          opt("maxlength", b.maxLength, a.maxLength)(_.toString)((x, y) =>
+            if (y < x) "tightened" else "loosened")
+          opt("allowed", b.allowed, a.allowed)(fmtSet)((x, y) =>
+            if (y.toSet.subsetOf(x.toSet)) "tightened"
+            else if (x.toSet.subsetOf(y.toSet)) "loosened"
+            else "changed")
+          // forbidden is a DENY list: growing it tightens.
+          opt("forbidden", b.forbidden, a.forbidden)(fmtSet)((x, y) =>
+            if (x.toSet.subsetOf(y.toSet)) "tightened"
+            else if (y.toSet.subsetOf(x.toSet)) "loosened"
+            else "changed")
+      }
+    }
+    import spark.implicits._
+    rows.toSeq.toDF("field", "aspect", "before", "after", "change")
   }
 }

@@ -88,4 +88,50 @@ class InductionSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"))
   }
+
+  test("diff: self-diff empty; added/removed fields; direction classification per aspect") {
+    import graft.schema.FieldSpec
+    val a = graft.schema.Schema.of(
+      "id" -> FieldSpec(required = true, min = Some(0), max = Some(100)),
+      "lang" -> FieldSpec(allowed = Some(Seq("en", "de", "fr"))),
+      "old" -> FieldSpec())
+    // self-diff is empty — no spurious drift
+    assert(Induction.diff(spark, a, a).count() === 0)
+    val b = graft.schema.Schema.of(
+      "id" -> FieldSpec(required = false, min = Some(10), max = Some(200),
+        regex = Some("[0-9]+")),
+      "lang" -> FieldSpec(allowed = Some(Seq("en", "de")),
+        forbidden = Some(Seq("xx"))),
+      "fresh" -> FieldSpec())
+    val d = Induction.diff(spark, a, b).collect()
+      .map(r => (r.getAs[String]("field"), r.getAs[String]("aspect")) ->
+        ((r.getAs[String]("before"), r.getAs[String]("after"),
+          r.getAs[String]("change")))).toMap
+    assert(d(("old", "field")) === (("present", null, "removed")))
+    assert(d(("fresh", "field")) === ((null, "present", "added")))
+    assert(d(("id", "required")) === (("true", "false", "loosened")))
+    assert(d(("id", "min")) === (("0", "10", "tightened")))
+    assert(d(("id", "max")) === (("100", "200", "loosened")))
+    assert(d(("id", "regex")) === ((null, "[0-9]+", "tightened"))) // rule appears
+    assert(d(("lang", "allowed")) === (("de,en,fr", "de,en", "tightened")))
+    assert(d(("lang", "forbidden")) === ((null, "xx", "tightened")))
+    // incomparable allowed sets → changed; vanished rule → loosened
+    val c = Induction.diff(spark,
+        graft.schema.Schema.of("lang" -> FieldSpec(
+          allowed = Some(Seq("en", "de")), maxLength = Some(5))),
+        graft.schema.Schema.of("lang" -> FieldSpec(
+          allowed = Some(Seq("en", "zh")))))
+      .collect().map(r => r.getAs[String]("aspect") ->
+        r.getAs[String]("change")).toMap
+    assert(c("allowed") === "changed")
+    assert(c("maxlength") === "loosened")
+    // induced end-to-end: filtering a value out of a slice tightens
+    val full = Induction.suggestSchema(docs, Seq("lang", "n_chars"))
+    val cut = Induction.suggestSchema(
+      docs.where($"lang" =!= "fr"), Seq("lang", "n_chars"))
+    val rows = Induction.diff(spark, full, cut).collect()
+      .map(r => (r.getAs[String]("field"), r.getAs[String]("aspect")) ->
+        r.getAs[String]("change")).toMap
+    assert(rows(("lang", "allowed")) === "tightened")
+  }
 }

@@ -46,4 +46,45 @@ class PipelineSpec extends SparkSpec {
       .as[(Long, Int, Long)].collect().toSet
     assert(first === again)
   }
+
+  test("curateResumable: interrupted run resumes per partition, equals uninterrupted") {
+    import graft.resume.Checkpoint
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"lang", $"pack_bucket", $"pack_id")
+        .as[(Long, String, Int, Long)].collect().toSet
+    val base = java.nio.file.Files.createTempDirectory("graft-curate").toString
+    // ONE uninterrupted run over everything.
+    val full = CorpusPipeline.curateResumable(docs, cfg, "lang", s"$base/full")
+    assert(full.pending.toSet === docs.select($"lang").distinct()
+      .as[String].collect().toSet)
+    // Interrupted run: only two languages arrive before the "crash"...
+    val out2 = s"$base/resumed"
+    val firstBatch = CorpusPipeline.curateResumable(
+      docs.where($"lang".isin("en", "de")), cfg, "lang", out2)
+    assert(firstBatch.pending.toSet === Set("en", "de"))
+    // ...the re-run over the FULL input skips the committed partitions
+    val resumed = CorpusPipeline.curateResumable(docs, cfg, "lang", out2)
+    assert(resumed.skipped === 2)
+    assert(resumed.pending.toSet ===
+      full.pending.toSet -- Set("en", "de"))
+    // and the stitched table is IDENTICAL to the uninterrupted run
+    assert(key(resumed.curated) === key(full.curated))
+    // a third run finds nothing pending and rescans no corpus
+    val noop = CorpusPipeline.curateResumable(docs, cfg, "lang", out2)
+    assert(noop.pending.isEmpty)
+    assert(noop.skipped === full.pending.size)
+    assert(key(noop.curated) === key(full.curated))
+    // manifest funnel accounting: dropped = input − curated, per partition
+    val m = Checkpoint.processed(spark, out2)
+      .select($"partition", $"n_rows", $"n_bad_rows")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val inEn = docs.where($"lang" === "en").count()
+    val outEn = full.curated.where($"lang" === "en").count()
+    assert(m("en") === ((inEn, inEn - outEn)))
+    // per-partition determinism: a partition's rows are identical
+    // whether curated alone or in the full batch
+    assert(key(resumed.curated.where($"lang" === "en")) ===
+      key(full.curated.where($"lang" === "en")))
+  }
 }
