@@ -55,14 +55,16 @@ object Verdict {
     * `example_min_num`/`_max_num` give the true numeric range over the
     * values that parse as numbers (null when none do).
     *
-    * The default exact distinct-value count plans a double-exchange
-    * SortAggregate over the violation rows (bounded by distinct
+    * The default exact distinct-value count plans the TWO-exchange
+    * distinct-rewrite over the violation rows (bounded by distinct
     * (rule, value) pairs after partial aggregation, not corpus rows —
     * violations are minority rows by construction). At corpus scale
-    * pass `approxDistinct = true` for the HLL++ sketch: one
-    * hash-aggregate exchange, no sort — the same exact/approx trade as
+    * pass `approxDistinct = true` for the HLL++ sketch: ONE partial/
+    * final exchange (PlanSpec-pinned) — the same exact/approx trade as
     * [[Expectations.evaluate]], with the same default (exactness for
-    * verdict stability).
+    * verdict stability). Both paths sort-aggregate per partition: the
+    * string example_min/max buffers are not hash-aggregable, and the
+    * sort keys are O(rules) — the exchange count is what matters.
     */
   def ruleBreakdown(
       df: DataFrame,

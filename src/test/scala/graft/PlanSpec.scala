@@ -50,6 +50,46 @@ class PlanSpec extends SparkSpec {
     assert(physical(v).toString.contains("partial_"))
   }
 
+  test("ruleBreakdown sketch path: ONE exchange (exact distinct needs two), no Expand") {
+    // Exact countDistinct plans the two-exchange distinct-rewrite over
+    // the violation rows; the HLL path must collapse to ONE partial/
+    // final aggregation exchange. (Both paths stay SortAggregate — the
+    // string example_min/max buffers are not hash-aggregable — but the
+    // sort keys are O(rules) and the second corpus-keyed exchange is
+    // the cost that matters at scale.)
+    val exact2 = Verdict.ruleBreakdown(docs, docSchema)
+    assert(shuffles(exact2).length === 2)
+    val sketch = Verdict.ruleBreakdown(docs, docSchema, approxDistinct = true)
+    assert(shuffles(sketch).length === 1)
+    val p = physical(sketch).toString
+    assert(!p.contains("Expand"))
+    assert(p.contains("partial_"))
+    // and it must agree with the exact path on everything but the
+    // distinct estimate (tiny violation sets: HLL is exact here too)
+    val exact = Verdict.ruleBreakdown(docs, docSchema).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    val approx = sketch.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(exact === approx)
+  }
+
+  test("relative expectations: current side is one aggregation; lookup joins are broadcast") {
+    import graft.verdict.Expectations
+    import graft.verdict.Expectations.Expect
+    val baseline = Expectations.evaluate(docs,
+      Seq(Expect("row_count"), Expect("mean", "n_chars")), Seq("lang"))
+    val rel = Expectations.evaluateRelative(docs,
+      Seq(Expect("row_count_rel", lo = 0.5, hi = 2.0),
+        Expect("mean_rel", "n_chars", lo = 0.5, hi = 2.0)),
+      baseline, Seq("lang"))
+    val p = physical(rel)
+    // corpus-keyed exchanges: one per evaluate() pass (current +
+    // baseline) — the alignment/bounds joins must add none beyond the
+    // full-outer's own requirement, and the bounds join is broadcast.
+    assert(p.toString.contains("BroadcastHashJoin"))
+    assert(physical(rel).toString.contains("partial_"))
+  }
+
   test("referential integrity plans a broadcast LEFT ANTI join") {
     val dim = spark.range(10).select(col("id").as("doc_id"))
     val p = physical(RefIntegrity.summary(docs, dim, Seq("doc_id"))).toString
