@@ -492,10 +492,15 @@ object IndexStore {
   }
 
   /** Persist one snapshot's [[graft.verdict.Expectations.evaluate]]
-    * output, tagged `(snapshot_id, seq)` — append-only history; `seq`
-    * is max(stored)+1 so the LATEST snapshot is well-defined without a
-    * wall clock. O(groups × checks) rows per snapshot. Single-writer,
-    * like every append path (object scaladoc). Returns rows appended.
+    * output, tagged `(snapshot_id, seq)`; `seq` is max(stored)+1 so
+    * the LATEST snapshot is well-defined without a wall clock.
+    * History stacks per snapshotId; RE-writing an EXISTING snapshotId
+    * dynamic-overwrites only that snapshot's partition (content-
+    * idempotent retries/replays — a crashed half-written snapshot is
+    * fully rewritten, never duplicated; its seq advances, keeping a
+    * replayed latest batch latest). O(groups × checks) rows per
+    * snapshot. Single-writer, like every append path (object
+    * scaladoc). Returns rows written.
     */
   def appendExpectationSnapshot(
       df: DataFrame,
@@ -519,22 +524,45 @@ object IndexStore {
         spark.read.parquet(s"$path/data")
           .agg(max(col("seq"))).head().getLong(0) + 1L
       }
-    appendCounted(
-      graft.verdict.Expectations.evaluate(df, expects, groupCols, approxDistinct)
-        .withColumn("snapshot_id", lit(snapshotId))
-        .withColumn("seq", lit(seq)),
-      s"$path/data")
+    val rows = graft.verdict.Expectations
+      .evaluate(df, expects, groupCols, approxDistinct)
+      .withColumn("seq", lit(seq))
+      .withColumn("snapshot_id", lit(snapshotId))
+    rows.persist()
+    try {
+      val n = rows.count()
+      if (n > 0)
+        rows.write
+          .mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("snapshot_id")
+          .parquet(s"$path/data")
+      n
+    } finally rows.unpersist()
   }
 
-  /** The LATEST stored snapshot's observation rows (max `seq`) + meta. */
+  /** The LATEST stored snapshot's observation rows (max `seq`) + meta.
+    * `excludeSnapshotId` masks one snapshot from the search — a
+    * streaming replay gates a batch against its PREDECESSOR even when
+    * the batch's own snapshot already landed before the crash; with
+    * nothing left after the mask the frame is empty (first-run
+    * semantics).
+    */
   def loadLatestExpectations(
       spark: SparkSession,
-      path: String): (DataFrame, ExpectationsMeta) = {
+      path: String,
+      excludeSnapshotId: String = null): (DataFrame, ExpectationsMeta) = {
     val meta = readMeta[ExpectationsMeta](spark, path, "expectations")(
       Encoders.product[ExpectationsMeta])
-    val all = spark.read.parquet(s"$path/data")
-    val latest = all.agg(max(col("seq"))).head().getLong(0)
-    (all.where(col("seq") === latest), meta)
+    val all0 = spark.read.parquet(s"$path/data")
+    val all =
+      if (excludeSnapshotId == null) all0
+      else all0.where(col("snapshot_id") =!= excludeSnapshotId)
+    val latest = all.agg(max(col("seq"))).head()
+    val snap =
+      if (latest.isNullAt(0)) all.limit(0)
+      else all.where(col("seq") === latest.getLong(0))
+    (snap, meta)
   }
 
   /** Relative expectation gates of `cur` against the LATEST stored
@@ -551,7 +579,8 @@ object IndexStore {
       expects: Seq[graft.verdict.Expectations.Expect],
       groupCols: Seq[String],
       path: String,
-      approxDistinct: Boolean = false): DataFrame = {
+      approxDistinct: Boolean = false,
+      excludeSnapshotId: String = null): DataFrame = {
     val spark = cur.sparkSession
     val baseline =
       if (!exists(spark, s"$path/meta"))
@@ -563,7 +592,8 @@ object IndexStore {
           .withColumn("observed", lit(0d))
           .limit(0)
       else {
-        val (snap, meta) = loadLatestExpectations(spark, path)
+        val (snap, meta) =
+          loadLatestExpectations(spark, path, excludeSnapshotId)
         require(meta.groupCols == groupCols.mkString(","),
           s"expectation store at $path was built with groupCols=" +
             s"'${meta.groupCols}', not '${groupCols.mkString(",")}'")

@@ -349,4 +349,60 @@ object StreamingValidator {
         ()
       }
       .start()
+
+  /** HISTORY-aware streaming gates ([[expectationsSink]] × the
+    * baseline-relative suite): each micro-batch's `*_rel` checks gate
+    * its metrics against the PREVIOUS batch's stored observations
+    * ("did this batch shrink 40% vs the last one?"), then the batch's
+    * ABSOLUTE observations are recorded as the new latest snapshot in
+    * the [[graft.index.IndexStore]] expectation store at `storePath`
+    * (base metrics derived from the declared rel checks — the caller
+    * writes ONE suite). Batch 0 has no history and FAILS every bounded
+    * relative check — the engine-wide no-signal rule; gating begins at
+    * batch 1.
+    *
+    * Replay idempotence (a batch re-run after crash recovery): the
+    * gate EXCLUDES the current batch's own snapshot id, so a batch
+    * whose snapshot landed before the crash still re-gates against its
+    * predecessor; the verdict write dynamic-overwrites its `batch_id`
+    * partition; and the snapshot write dynamic-overwrites its
+    * `snapshot_id` partition (a half-written snapshot is fully
+    * rewritten, never duplicated). The store is single-writer — this
+    * query must be its only appender (IndexStore scaladoc).
+    */
+  def relativeExpectationsSink(
+      stream: DataFrame,
+      relExpects: Seq[graft.verdict.Expectations.Expect],
+      groupCols: Seq[String],
+      storePath: String,
+      metricsPath: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("500 milliseconds"),
+      approxDistinct: Boolean = true
+  ): StreamingQuery = {
+    import graft.verdict.Expectations.Expect
+    val baseChecks = relExpects
+      .map(e => (Expect.baseKind(e.check), e.column)).distinct
+      .map { case (k, c) => Expect(k, c) }
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sid = s"batch_$batchId"
+        graft.index.IndexStore
+          .expectationsAgainstBaseline(batch, relExpects, groupCols,
+            storePath, approxDistinct, excludeSnapshotId = sid)
+          .withColumn("batch_id", lit(batchId))
+          .write
+          .mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(metricsPath)
+        graft.index.IndexStore.appendExpectationSnapshot(
+          batch, baseChecks, groupCols, storePath, sid, approxDistinct)
+        ()
+      }
+      .start()
+  }
 }

@@ -333,4 +333,60 @@ class StreamingSpec extends SparkSpec {
     val replayed = spark.read.parquet(metrics).drop("batch_id")
     assert(replayed.exceptAll(direct).isEmpty && direct.exceptAll(replayed).isEmpty)
   }
+
+  test("relative expectations sink: batch 0 fails (no history), batch 1 gates vs batch 0") {
+    import graft.verdict.Expectations
+    import graft.verdict.Expectations.Expect
+    val src = Files.createTempDirectory("graft-stream-rexp-src").toString
+    val store = Files.createTempDirectory("graft-stream-rexp-store").toString + "/s"
+    val metrics = Files.createTempDirectory("graft-stream-rexp-out").toString + "/m"
+    val ck = Files.createTempDirectory("graft-stream-rexp-ck").toString
+    val events = spark.read.parquet(sf("sf0.001") + "/events.parquet")
+    val even = events.where(col("event_id") % 2 === 0)
+    val odd = events.where(col("event_id") % 2 === 1)
+    val relChecks = Seq(
+      Expect("row_count_rel", lo = 0.5, hi = 2.0),
+      Expect("mean_rel", "value", lo = 0.5, hi = 2.0))
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(events.schema).parquet(src)
+      val q = StreamingValidator.relativeExpectationsSink(stream, relChecks,
+        Seq("event_type"), store, metrics, ck,
+        trigger = Trigger.AvailableNow())
+      q.awaitTermination(60000)
+    }
+    // batch 0: even slice, no history → every bounded rel check FAILS
+    even.write.mode("overwrite").parquet(src)
+    runOnce()
+    val b0 = spark.read.parquet(metrics).where(col("batch_id") === 0)
+    assert(b0.count() > 0 && b0.where(col("pass")).count() === 0)
+    // batch 1: odd slice (new file, same checkpoint) gates against the
+    // batch-0 snapshot — identical to the direct batch evaluation
+    odd.write.mode("append").parquet(src)
+    runOnce()
+    val b1 = spark.read.parquet(metrics).where(col("batch_id") === 1)
+      .drop("batch_id")
+    val direct = Expectations.evaluateRelative(odd, relChecks,
+      Expectations.evaluate(even,
+        Seq(Expect("row_count"), Expect("mean", "value")),
+        Seq("event_type"), approxDistinct = true),
+      Seq("event_type"), approxDistinct = true)
+    assert(b1.count() > 0)
+    assert(b1.exceptAll(direct).isEmpty && direct.exceptAll(b1).isEmpty)
+    assert(b1.where(col("pass")).count() > 0) // ratios ≈ 1 inside the band
+    // recovery semantics: a replayed batch re-gates against its
+    // PREDECESSOR (own snapshot excluded), and re-writing its snapshot
+    // rewrites the partition instead of duplicating rows
+    val regate = graft.index.IndexStore.expectationsAgainstBaseline(
+      odd, relChecks, Seq("event_type"), store,
+      approxDistinct = true, excludeSnapshotId = "batch_1")
+    assert(regate.exceptAll(direct).isEmpty && direct.exceptAll(regate).isEmpty)
+    val rowsBefore = spark.read.parquet(s"$store/data").count()
+    graft.index.IndexStore.appendExpectationSnapshot(odd,
+      Seq(Expect("row_count"), Expect("mean", "value")),
+      Seq("event_type"), store, "batch_1", approxDistinct = true)
+    assert(spark.read.parquet(s"$store/data").count() === rowsBefore)
+    val (latest, _) = graft.index.IndexStore.loadLatestExpectations(spark, store)
+    assert(latest.select("snapshot_id").distinct().head().getString(0) === "batch_1")
+  }
 }
