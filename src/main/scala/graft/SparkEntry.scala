@@ -1611,7 +1611,7 @@ object SparkEntry {
     // defaulted 0) — the whole per-element transform replayed.
     "q_normalize_elements_documents" ->
       """SELECT doc_id, CAST(0 AS INT) AS idx, upper(source) AS name,
-        | n_chars AS n
+        | coalesce(n_chars, CAST(0 AS BIGINT)) AS n
         |FROM documents
         |UNION ALL
         |SELECT doc_id, CAST(1 AS INT), upper(lang),

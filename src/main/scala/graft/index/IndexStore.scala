@@ -112,15 +112,28 @@ object IndexStore {
     val meta = readMeta[BloomMeta](spark, path, "bloom")(Encoders.product[BloomMeta])
     def read(sub: String): Array[org.apache.spark.sql.Row] =
       spark.read.parquet(s"$path/$sub").collect()
-    def notFound(e: Throwable): Boolean =
-      e.getMessage != null && e.getMessage.contains("PATH_NOT_FOUND")
+    // Both swap-race shapes: planning-time PATH_NOT_FOUND (dir gone
+    // before resolution) AND execution-time FileNotFound (dir renamed
+    // away between file listing and the task's open) — walk the cause
+    // chain; anything else rethrows untouched.
+    def transientMissing(e: Throwable): Boolean = {
+      var t = e; var depth = 0
+      while (t != null && depth < 16) {
+        if (t.isInstanceOf[java.io.FileNotFoundException]) return true
+        if (t.getMessage != null && t.getMessage.contains("PATH_NOT_FOUND"))
+          return true
+        t = t.getCause; depth += 1
+      }
+      false
+    }
     val rows =
       try read("data")
       catch {
-        case e: org.apache.spark.sql.AnalysisException if notFound(e) =>
+        case e: Exception if transientMissing(e) =>
           try read("data.swap-old")
-          catch { case e2: org.apache.spark.sql.AnalysisException
-            if notFound(e2) => read("data") }
+          catch { case e2: Exception if transientMissing(e2) =>
+            read("data") // swap completed meanwhile: live copy is back
+          }
       }
     require(rows.length == 1, s"bloom index at $path must hold exactly one row")
     (rows.head.getAs[Array[Byte]]("bloom"), meta)
@@ -510,6 +523,12 @@ object IndexStore {
       snapshotId: String,
       approxDistinct: Boolean = false): Long = {
     val spark = df.sparkSession
+    // Partition-path-safe ids only: the snapshot lands (and is pruned)
+    // as the literal directory `snapshot_id=<id>` — path-escaping
+    // characters would silently desynchronize write and prune paths.
+    require(snapshotId.nonEmpty && snapshotId.matches("[A-Za-z0-9._-]+"),
+      s"snapshotId '$snapshotId' must match [A-Za-z0-9._-]+ " +
+        "(it names a partition directory)")
     val enc = Encoders.product[ExpectationsMeta]
     val seq =
       if (!exists(spark, s"$path/meta")) {
@@ -521,8 +540,13 @@ object IndexStore {
         require(meta.groupCols == groupCols.mkString(","),
           s"expectation store at $path was built with groupCols=" +
             s"'${meta.groupCols}', not '${groupCols.mkString(",")}'")
-        spark.read.parquet(s"$path/data")
-          .agg(max(col("seq"))).head().getLong(0) + 1L
+        // Meta existing with NO data is a crashed-before-data or
+        // zero-row first append — NOT a poisoned store: restart at 0.
+        if (!exists(spark, s"$path/data")) 0L
+        else {
+          val m = spark.read.parquet(s"$path/data").agg(max(col("seq"))).head()
+          if (m.isNullAt(0)) 0L else m.getLong(0) + 1L
+        }
       }
     val rows = graft.verdict.Expectations
       .evaluate(df, expects, groupCols, approxDistinct)
@@ -554,6 +578,10 @@ object IndexStore {
       excludeSnapshotId: String = null): (DataFrame, ExpectationsMeta) = {
     val meta = readMeta[ExpectationsMeta](spark, path, "expectations")(
       Encoders.product[ExpectationsMeta])
+    require(exists(spark, s"$path/data"),
+      s"expectation store at $path has a meta sidecar but no data " +
+        "(crashed or zero-row first append) — gate via " +
+        "expectationsAgainstBaseline, which treats this as a first run")
     val all0 = spark.read.parquet(s"$path/data")
     val all =
       if (excludeSnapshotId == null) all0
@@ -563,6 +591,34 @@ object IndexStore {
       if (latest.isNullAt(0)) all.limit(0)
       else all.where(col("seq") === latest.getLong(0))
     (snap, meta)
+  }
+
+  /** Bound the snapshot HISTORY: delete all but the `keepLast`
+    * highest-seq snapshots (whole `snapshot_id=<id>` partition
+    * directories — ids are path-safe by construction, enforced at
+    * append). Without pruning, a per-batch streaming writer accumulates
+    * history forever and every max(seq) discovery scans all of it —
+    * O(batches²) cumulative. Single-writer, like the appends; run it
+    * from the one owning writer (the streaming sink does, per batch).
+    * Returns snapshots deleted.
+    */
+  def pruneExpectationSnapshots(
+      spark: SparkSession,
+      path: String,
+      keepLast: Int): Long = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    if (!exists(spark, s"$path/data")) return 0L
+    val pairs = spark.read.parquet(s"$path/data")
+      .select(col("snapshot_id"), col("seq")).distinct().collect()
+    val drop = pairs.sortBy(-_.getLong(1)).drop(keepLast)
+    if (drop.isEmpty) return 0L
+    val root = new org.apache.hadoop.fs.Path(s"$path/data")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    drop.foreach { r =>
+      fs.delete(new org.apache.hadoop.fs.Path(root,
+        s"snapshot_id=${r.getString(0)}"), true)
+    }
+    drop.length.toLong
   }
 
   /** Relative expectation gates of `cur` against the LATEST stored
@@ -583,9 +639,11 @@ object IndexStore {
       excludeSnapshotId: String = null): DataFrame = {
     val spark = cur.sparkSession
     val baseline =
-      if (!exists(spark, s"$path/meta"))
+      // No store, or a meta sidecar without data (crashed/zero-row
+      // first append): both are "no history" — first-run FAIL path.
+      if (!exists(spark, s"$path/meta") || !exists(spark, s"$path/data"))
         // Typed empty frame (group columns borrowed from `cur` so join
-        // key types line up) — the first-run FAIL path.
+        // key types line up).
         cur.select(groupCols.map(col): _*)
           .withColumn("check", lit(""))
           .withColumn("column", lit(""))

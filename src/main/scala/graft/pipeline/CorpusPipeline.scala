@@ -220,7 +220,19 @@ object CorpusPipeline {
     val t0 = System.currentTimeMillis()
     val pendingParts = Checkpoint.pending(docs, partitionCol, outDir)
     val done = Checkpoint.processed(spark, outDir).count()
-    def curatedTable(): DataFrame = spark.read.parquet(s"$outDir/curated")
+    // A run whose funnel drops EVERY row writes only _SUCCESS (no
+    // parquet footer to infer from) — that is an empty curated table,
+    // not an error: fall back to a typed empty frame (schema from the
+    // funnel's own analysis, no job).
+    val curatedSchema = curatePartitioned(docs.limit(0), cfg, partitionCol).schema
+    def curatedTable(): DataFrame =
+      try spark.read.parquet(s"$outDir/curated")
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            curatedSchema)
+      }
     if (pendingParts.isEmpty)
       return ResumeReport(runId, Nil, done, curatedTable())
 

@@ -369,6 +369,11 @@ object StreamingValidator {
     * `snapshot_id` partition (a half-written snapshot is fully
     * rewritten, never duplicated). The store is single-writer — this
     * query must be its only appender (IndexStore scaladoc).
+    *
+    * History is BOUNDED: after each batch's snapshot lands, all but
+    * the `historyKeep` highest-seq snapshots are pruned — a per-batch
+    * writer would otherwise grow the store (and every latest-snapshot
+    * discovery scan) without limit.
     */
   def relativeExpectationsSink(
       stream: DataFrame,
@@ -378,7 +383,8 @@ object StreamingValidator {
       metricsPath: String,
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("500 milliseconds"),
-      approxDistinct: Boolean = true
+      approxDistinct: Boolean = true,
+      historyKeep: Int = 64
   ): StreamingQuery = {
     import graft.verdict.Expectations.Expect
     val baseChecks = relExpects
@@ -401,6 +407,8 @@ object StreamingValidator {
           .parquet(metricsPath)
         graft.index.IndexStore.appendExpectationSnapshot(
           batch, baseChecks, groupCols, storePath, sid, approxDistinct)
+        graft.index.IndexStore.pruneExpectationSnapshots(
+          batch.sparkSession, storePath, historyKeep)
         ()
       }
       .start()

@@ -55,15 +55,17 @@ final class CacheScope {
 object CacheScope {
   // Every default scope ever handed out, so a cleanup pass from ANY
   // thread can reach scopes confined to pool threads it does not own.
-  // WEAKLY held: the set exists only to REACH live storage — once a
-  // scope is otherwise unreachable (its owning pool thread died and
-  // nothing else holds it), its registered Datasets are unreachable
-  // too and Spark's ContextCleaner sweeps their cached blocks; a
-  // strong set here would pin every dead thread's scope (and frames)
-  // until a releaseAll call that may never come.
-  private val liveDefaults = java.util.Collections.synchronizedSet(
-    java.util.Collections.newSetFromMap(
-      new java.util.WeakHashMap[CacheScope, java.lang.Boolean]()))
+  // STRONGLY held, deliberately: `Dataset.persist` registers the plan
+  // in Spark SQL's CacheManager, which holds it STRONGLY — GC'ing an
+  // unreachable scope would NOT let ContextCleaner sweep its cached
+  // blocks (the CacheManager entry pins them); it would only discard
+  // the one handle that can still `unpersist` them, turning a
+  // recoverable pin into an unrecoverable leak. The pinning cost of
+  // this set is therefore the cheap side of the trade: entries are
+  // tiny (a released scope is two empty queues) and a dead pool
+  // thread's storage stays reachable for the [[releaseAll]] sweep.
+  private val liveDefaults = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[CacheScope, java.lang.Boolean]())
 
   private val threadShared: ThreadLocal[CacheScope] =
     ThreadLocal.withInitial { () =>
@@ -96,11 +98,8 @@ object CacheScope {
     * recompute) — intended for between-jobs / shutdown sweeps.
     */
   def releaseAll(blocking: Boolean = false): Unit = {
-    // Copy under the set's lock (synchronizedSet iteration contract;
-    // GC can clear weak entries mid-iteration), then release outside it.
-    val scopes = new java.util.ArrayList[CacheScope]()
-    liveDefaults.synchronized { scopes.addAll(liveDefaults) }
-    scopes.forEach(_.release(blocking))
+    val it = liveDefaults.iterator()
+    while (it.hasNext) it.next().release(blocking)
   }
 
   /** Convenience: run `f` with a fresh scope, releasing on exit. Only

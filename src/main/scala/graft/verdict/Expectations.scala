@@ -257,9 +257,19 @@ object Expectations {
       .agg(max(col("observed")).as("previous"))
     // Full-outer on (group, metric): current-only rows are new/first-run
     // groups, baseline-only rows are vanished groups — both must surface
-    // as failing verdict rows, not silently drop.
-    val joined = curLong.join(
-      baseLong, groupCols ++ Seq("check", "column"), "full_outer")
+    // as failing verdict rows, not silently drop. NULL-SAFE key
+    // equality (<=>): a null-keyed group is a real group and must align
+    // with its own baseline row — plain equality would split it into a
+    // permanently-failing "first run" + "vanished" pair.
+    val joinKeys = groupCols ++ Seq("check", "column")
+    val joined = curLong.alias("c")
+      .join(baseLong.alias("b"),
+        joinKeys.map(k => col(s"c.$k") <=> col(s"b.$k")).reduce(_ && _),
+        "full_outer")
+      .select(
+        joinKeys.map(k => coalesce(col(s"c.$k"), col(s"b.$k")).as(k)) ++
+          Seq(col("c.current").as("current"),
+            col("b.previous").as("previous")): _*)
     val bounds = broadcast(
       expects.map(e => (Expect.baseKind(e.check), e.column, e.lo, e.hi))
         .toDF("check", "column", "lo", "hi"))

@@ -222,4 +222,58 @@ class ExpectationsSpec extends SparkSpec {
       IndexStore.expectationsAgainstBaseline(snap2, checks, Seq("v"), path)
     }
   }
+
+  test("relative gates: null group keys align null-safely with their baseline row") {
+    val base = Seq((Some("a"), 1), (None, 1), (None, 1)).toDF("g", "v")
+    val cur = Seq((Some("a"), 2), (None, 3)).toDF("g", "v")
+    val out = Expectations.evaluateRelative(cur,
+        Seq(Expect("row_count_rel", lo = 0.4, hi = 2.5)),
+        Expectations.evaluate(base, Seq(Expect("row_count")), Seq("g")),
+        Seq("g"))
+      .collect().map(r => Option(r.getAs[String]("g")) -> r).toMap
+    // the NULL-keyed group is ONE aligned row (ratio 1/2), not a
+    // failing first-run + vanished pair
+    assert(out.size === 2)
+    assert(out(None).getAs[Double]("observed") === 0.5)
+    assert(out(None).getAs[Boolean]("pass"))
+    assert(out(Some("a")).getAs[Double]("observed") === 1.0)
+  }
+
+  test("snapshot store: crashed/zero-row first append never poisons; history prunes; ids path-safe") {
+    import graft.index.IndexStore
+    val dir = java.nio.file.Files.createTempDirectory("graft-expstore2").toString
+    val path = s"$dir/exp"
+    val data = Seq(("a", 1), ("b", 2)).toDF("g", "v")
+    val baseChecks = Seq(Expect("row_count"))
+    val relChecks = Seq(Expect("row_count_rel", lo = 0.5, hi = 2.0))
+    // zero-row first append: meta lands, data does not — the store must
+    // behave as FIRST RUN (fail bounded rel checks), and the next
+    // append must restart at seq 0, not crash on the missing data path
+    assert(IndexStore.appendExpectationSnapshot(
+      data.limit(0), baseChecks, Seq("g"), path, "s0") === 0L)
+    val first = IndexStore.expectationsAgainstBaseline(
+      data, relChecks, Seq("g"), path)
+    assert(first.count() === 2 && first.where(col("pass")).count() === 0)
+    assertThrows[IllegalArgumentException] {
+      IndexStore.loadLatestExpectations(spark, path) // loud, names the cause
+    }
+    assert(IndexStore.appendExpectationSnapshot(
+      data, baseChecks, Seq("g"), path, "s1") === 2L)
+    assert(IndexStore.expectationsAgainstBaseline(
+      data, relChecks, Seq("g"), path).where(col("pass")).count() === 2)
+    // history pruning: keep only the newest K snapshots
+    (2 to 5).foreach(i => IndexStore.appendExpectationSnapshot(
+      data, baseChecks, Seq("g"), path, s"s$i"))
+    assert(IndexStore.pruneExpectationSnapshots(spark, path, keepLast = 2) === 3L)
+    val left = spark.read.parquet(s"$path/data")
+      .select("snapshot_id").distinct().as[String].collect().toSet
+    assert(left === Set("s4", "s5"))
+    val (latest, _) = IndexStore.loadLatestExpectations(spark, path)
+    assert(latest.select("snapshot_id").distinct().head().getString(0) === "s5")
+    // ids become partition directories — unsafe ones rejected up front
+    assertThrows[IllegalArgumentException] {
+      IndexStore.appendExpectationSnapshot(
+        data, baseChecks, Seq("g"), path, "bad/id")
+    }
+  }
 }
