@@ -5,7 +5,7 @@ import graft.dedup.Dedup
 import graft.drift.Drift
 import graft.multimodal.Multimodal
 import graft.refint.RefIntegrity
-import graft.schema.{FieldSpec, Schema}
+import graft.schema.{FieldSpec, Schema, SchemaJson}
 import graft.sim.Similarity
 import graft.stats.ColumnStats
 import graft.text.TextAnalysis
@@ -187,6 +187,64 @@ object SparkEntry {
     ("size_tag", "required", "size_tag IS NULL", "CAST(NULL AS VARCHAR)", "error"),
     ("size_tag", "type", "size_tag IS NOT NULL AND TRY_CAST(size_tag AS BIGINT) IS NULL", "size_tag", "error")
   )
+
+  /** q_validate_json schema — a JSON DOCUMENT, not Scala: exercises the
+    * SchemaJson parse path end-to-end (registry normalizer by name,
+    * array-form dependencies, rule_severity, fatal channel, oneof).
+    * Thresholds differ from [[docSchema]] so the two queries cannot
+    * mask each other. Mirrored rule-for-rule by its oracle.
+    */
+  private val jsonDocSchema: String =
+    """{
+      | "doc_id":  {"required": true},
+      | "lang":    {"required": true, "normalize": "upper",
+      |             "allowed": ["DE", "EN", "ES", "FR"],
+      |             "rule_severity": {"allowed": "warning"}},
+      | "source":  {"regex": "src[0-9]{1,2}", "forbidden": ["src13"],
+      |             "dependencies": ["lang"]},
+      | "text":    {"empty": false, "minlength": 120},
+      | "n_chars": {"min": 150, "max": 450,
+      |             "oneof": [{"max": 250}, {"min": 400}]},
+      | "size_tag": {"type": "bigint", "severity": "fatal"}
+      |}""".stripMargin
+
+  /** Oracle for `q_validate_json_documents`: the JSON-authored rules
+    * replayed predicate-for-predicate (normalize-before-validate shows
+    * as upper(lang) in both the allowed predicate and the reported
+    * value; `empty` trims per the engine's empty semantics).
+    */
+  private val jsonValidateSql: String = Seq(
+    ("doc_id", "required", "doc_id IS NULL", "CAST(NULL AS VARCHAR)", "error"),
+    ("lang", "required", "lang IS NULL", "CAST(NULL AS VARCHAR)", "error"),
+    ("lang", "allowed",
+      "lang IS NOT NULL AND upper(lang) NOT IN ('DE','EN','ES','FR')",
+      "upper(lang)", "warning"),
+    ("source", "regex",
+      "source IS NOT NULL AND NOT regexp_full_match(source, 'src[0-9]{1,2}')",
+      "source", "error"),
+    ("source", "forbidden", "source IS NOT NULL AND source IN ('src13')",
+      "source", "error"),
+    ("source", "dependencies", "source IS NOT NULL AND lang IS NULL",
+      "source", "error"),
+    ("text", "empty", "text IS NOT NULL AND trim(text) = ''", "text", "error"),
+    ("text", "minlength", "text IS NOT NULL AND length(text) < 120",
+      "text", "error"),
+    ("n_chars", "min", "n_chars IS NOT NULL AND n_chars < 150",
+      "CAST(n_chars AS VARCHAR)", "error"),
+    ("n_chars", "max", "n_chars IS NOT NULL AND n_chars > 450",
+      "CAST(n_chars AS VARCHAR)", "error"),
+    ("n_chars", "oneof",
+      """n_chars IS NOT NULL AND
+        | (CASE WHEN n_chars <= 250 THEN 1 ELSE 0 END +
+        |  CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END) <> 1""".stripMargin,
+      "CAST(n_chars AS VARCHAR)", "error"),
+    ("size_tag", "type",
+      "size_tag IS NOT NULL AND TRY_CAST(size_tag AS BIGINT) IS NULL",
+      "size_tag", "fatal"))
+    .map { case (f, r, pred, v, sev) =>
+      s"SELECT doc_id, '$f' AS field, '$r' AS rule, $v AS value, '$sev' AS severity FROM $docsXSql WHERE $pred"
+    }
+    .mkString(" UNION ALL ")
 
   private val docViolationsSql: String = docRuleSql
     .map { case (f, r, pred, v, sev) =>
@@ -407,6 +465,16 @@ object SparkEntry {
       // Extended Cerberus vocabulary: contains/excludes/anyof/allof/
       // oneof/noneof/keysrules/valuesrules (round 3).
       Validator.violations(docsRules(s, dir), extSchema, Seq("doc_id"))),
+    "q_validate_json_documents" -> ((s, dir) =>
+      // Schemas as DATA (round 5): the schema below exists only as a
+      // JSON document — parsed by SchemaJson (registry-resolved
+      // normalizer, Cerberus array-form dependencies, per-rule
+      // severities) and compiled to the same Catalyst rules as the
+      // Scala DSL. Reference grounding: the validated domain crosses
+      // the data boundary as JSON with parse failure a closed error
+      // (accounts_to_json / json_to_accounts, rust/src/lib.rs:73-82).
+      Validator.violations(docs(s, dir),
+        SchemaJson.fromJson(jsonDocSchema), Seq("doc_id"))),
     "q_schema_check_documents" -> ((s, dir) =>
       // Structural pre-gate (Cerberus allow_unknown analog): the raw
       // documents frame vs a schema that tolerates `text`, declares a
@@ -1038,6 +1106,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_validate_documents" -> docViolationsSql,
+    "q_validate_json_documents" -> jsonValidateSql,
     // Extended vocabulary: each rule's predicate + Spark's exact
     // container cast-to-string rendering, replayed literally.
     "q_validate_rules_documents" ->

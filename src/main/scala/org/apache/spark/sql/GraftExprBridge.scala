@@ -11,6 +11,16 @@ object GraftExprBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** The original SQL text of a Column built with `expr("...")` /
+    * `selectExpr` — i.e. whose node is a [[internal.SqlExpression]].
+    * None for Columns built through the DSL (their nodes render
+    * debug strings, not parseable SQL).
+    */
+  def sqlText(c: Column): Option[String] = c.node match {
+    case internal.SqlExpression(sql, _) => Some(sql)
+    case _ => None
+  }
+
   /** Register a function into a LIVE session's registry (the
     * `spark.sql.extensions` route only applies at session build).
     */
