@@ -246,6 +246,70 @@ object SparkEntry {
     }
     .mkString(" UNION ALL ")
 
+  /** Oracle for `q_suggested_expectations_documents`: the induction
+    * formulas (Expectations.suggest scaladoc) as base-slice stats, the
+    * evaluation as current-slice stats, both single-row CTEs; the
+    * conditional rules' presence guards are WHERE clauses over the
+    * base stats. Tolerance constants are CAST to DOUBLE so DuckDB's
+    * decimal literals don't change the arithmetic.
+    */
+  private val suggestedExpectationsSql: String = {
+    val numCols = Seq("doc_id", "n_chars")
+    val cols = Seq("doc_id", "lang", "source", "n_chars")
+    def stats(src: String): String = {
+      val per = cols.flatMap { f =>
+        Seq(
+          s"avg(CASE WHEN $f IS NULL THEN 1.0 ELSE 0.0 END) AS nf_$f",
+          s"CAST(count(DISTINCT $f) AS DOUBLE) AS d_$f") ++
+          (if (numCols.contains(f)) Seq(
+            s"avg(CAST($f AS DOUBLE)) AS mean_$f",
+            s"min(CAST($f AS DOUBLE)) AS mn_$f",
+            s"max(CAST($f AS DOUBLE)) AS mx_$f")
+           else Nil)
+      }
+      s"SELECT CAST(count(*) AS DOUBLE) AS n, ${per.mkString(", ")} FROM $src"
+    }
+    def arm(check: String, column: String, obs: String, lo: String,
+        hi: String, guard: String = "TRUE"): String =
+      s"""SELECT '$check' AS "check", '$column' AS "column",
+         | CAST(NULL AS DOUBLE) AS q, $obs AS observed, $lo AS lo,
+         | $hi AS hi FROM b, c WHERE $guard""".stripMargin
+    val inf = "CAST('inf' AS DOUBLE)"
+    val ninf = "CAST('-inf' AS DOUBLE)"
+    val t = "CAST(0.25 AS DOUBLE)"
+    val arms =
+      Seq(arm("row_count", "", "c.n",
+        "b.n * CAST(0.75 AS DOUBLE)", "b.n * CAST(1.25 AS DOUBLE)")) ++
+        cols.flatMap { f =>
+          Seq(
+            arm("null_frac", f, s"c.nf_$f", "0.0",
+              s"least(CAST(1 AS DOUBLE), b.nf_$f + $t)"),
+            arm("unique_frac", f, s"c.d_$f / c.n", "1.0", inf,
+              guard = s"b.d_$f = b.n AND b.nf_$f = 0"),
+            arm("distinct", f, s"c.d_$f", ninf, s"b.d_$f",
+              guard = s"b.d_$f >= 1 AND b.d_$f <= 20")) ++
+            (if (numCols.contains(f)) Seq(
+              arm("mean", f, s"c.mean_$f",
+                s"b.mean_$f - $t * (b.mx_$f - b.mn_$f)",
+                s"b.mean_$f + $t * (b.mx_$f - b.mn_$f)",
+                guard = s"b.mean_$f IS NOT NULL"),
+              arm("min", f, s"c.mn_$f",
+                s"b.mn_$f - $t * (b.mx_$f - b.mn_$f)", inf,
+                guard = s"b.mean_$f IS NOT NULL"),
+              arm("max", f, s"c.mx_$f", ninf,
+                s"b.mx_$f + $t * (b.mx_$f - b.mn_$f)",
+                guard = s"b.mean_$f IS NOT NULL"))
+             else Nil)
+        }
+    s"""WITH base AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+       | cur AS (SELECT * FROM documents WHERE doc_id % 2 <> 0),
+       | b AS (${stats("base")}),
+       | c AS (${stats("cur")})
+       |SELECT "check", "column", q, observed, lo, hi,
+       | coalesce(observed >= lo AND observed <= hi, FALSE) AS pass
+       |FROM (${arms.mkString(" UNION ALL ")})""".stripMargin
+  }
+
   private val docViolationsSql: String = docRuleSql
     .map { case (f, r, pred, v, sev) =>
       s"SELECT doc_id, '$f' AS field, '$r' AS rule, $v AS value, '$sev' AS severity FROM $docsXSql WHERE $pred"
@@ -742,6 +806,24 @@ object SparkEntry {
         graft.verdict.Expectations.Expect("quantile", "n_chars",
           lo = 100, hi = 400, q = 0.5)),
         groupCols = Seq("lang"))),
+
+    "q_suggested_expectations_documents" -> ((s, dir) => {
+      // Expectation INDUCTION (round 5, the table-level mirror of V19):
+      // suggest() profiles the even-doc_id half into a suite —
+      // row_count band, per-column null_frac ceilings, induced
+      // uniqueness (doc_id only), distinct caps (low-cardinality lang/
+      // source only), spread-scaled numeric bands — then evaluate()
+      // gates the odd half with it. The oracle re-derives every bound
+      // from the base slice and every observation from the current one.
+      // tolerance 0.25 is exactly representable in binary — bound
+      // arithmetic is bit-identical in Spark and DuckDB doubles.
+      val all = s.read.parquet(s"$dir/documents.parquet")
+      val base = all.where(col("doc_id") % 2 === 0)
+      val cur = all.where(col("doc_id") % 2 =!= 0)
+      graft.verdict.Expectations.evaluate(cur,
+        graft.verdict.Expectations.suggest(base,
+          Seq("doc_id", "lang", "source", "n_chars"), tolerance = 0.25))
+    }),
 
     "q_expectations_rel_documents" -> ((s, dir) => {
       // Baseline-RELATIVE expectation gates (round 5): each *_rel check
@@ -1720,6 +1802,12 @@ object SparkEntry {
 
     "q_induced_validate_documents" -> inducedValidateSql,
     "q_schema_diff_documents" -> schemaDiffSql,
+
+    // Every suggest() formula replayed: single-row stat CTEs over the
+    // two halves; conditional rows (induced uniqueness, distinct caps)
+    // carry their base-slice guards as WHERE clauses; pass re-derived
+    // from the re-derived bounds.
+    "q_suggested_expectations_documents" -> suggestedExpectationsSql,
 
     "q_expectations_documents" ->
       """WITH g AS (

@@ -223,6 +223,61 @@ class ExpectationsSpec extends SparkSpec {
     }
   }
 
+  test("suggest: a slice always passes its own induced suite; drift fails it") {
+    val base = Seq(
+      (1L, "en", Some(10.0)), (2L, "en", Some(20.0)),
+      (3L, "de", Some(30.0)), (4L, "fr", Some(40.0))
+    ).toDF("id", "lang", "score")
+    val suite = Expectations.suggest(base, Seq("id", "lang", "score"),
+      tolerance = 0.25)
+    // profile-once-gate-same: every induced bound contains its own
+    // observation by construction
+    assert(Expectations.holds(base, suite))
+    val kinds = suite.map(e => (e.check, e.column)).toSet
+    assert(kinds.contains(("unique_frac", "id")))     // id was unique
+    assert(kinds.contains(("distinct", "lang")))      // 3 ≤ cap
+    assert(kinds.contains(("mean", "score")))         // numeric band
+    assert(!kinds.exists(_ == ("unique_frac", "lang"))) // lang was not
+    // drift: a new category breaks the induced distinct cap; a fatter
+    // table breaks the row_count band
+    val drifted = base.union(Seq(
+      (5L, "zz", Some(50.0)), (6L, "zz", Some(60.0)),
+      (7L, "zz", Some(70.0)), (8L, "zz", Some(80.0)),
+      (9L, "zz", Some(90.0))).toDF("id", "lang", "score"))
+    val verdict = Expectations.evaluate(drifted, suite)
+      .collect().map(r => (r.getAs[String]("check"), r.getAs[String]("column")) -> r.getAs[Boolean]("pass")).toMap
+    assert(!verdict(("distinct", "lang")))
+    assert(!verdict(("row_count", "")))
+    assert(!verdict(("max", "score")))
+  }
+
+  test("suggest: all-null numeric induces no numeric bounds; uniqueness needs null-free") {
+    val base = Seq(
+      (Some(1L), Option.empty[Double]), (Some(1L), None), (None, None)
+    ).toDF("k", "v")
+    val suite = Expectations.suggest(base, Seq("k", "v"))
+    val kinds = suite.map(e => (e.check, e.column)).toSet
+    // v is all-null numeric: null_frac ceiling only (observes 1.0,
+    // passes); zero distinct values → no distinct cap either
+    assert(kinds.filter(_._2 == "v") === Set(("null_frac", "v")))
+    // k has dups AND a null: never an induced uniqueness invariant
+    assert(!kinds.contains(("unique_frac", "k")))
+    assert(Expectations.holds(base, suite))
+  }
+
+  test("suggest: empty slice and unknown column are rejected at construction") {
+    val df = Seq((1L, "a")).toDF("id", "lang")
+    assertThrows[IllegalArgumentException] {
+      Expectations.suggest(df.limit(0), Seq("id"))
+    }
+    assertThrows[IllegalArgumentException] {
+      Expectations.suggest(df, Seq("nope"))
+    }
+    assertThrows[IllegalArgumentException] {
+      Expectations.suggest(df, Seq("id"), tolerance = -0.1)
+    }
+  }
+
   test("relative gates: null group keys align null-safely with their baseline row") {
     val base = Seq((Some("a"), 1), (None, 1), (None, 1)).toDF("g", "v")
     val cur = Seq((Some("a"), 2), (None, 3)).toDF("g", "v")
