@@ -351,6 +351,50 @@ object SparkEntry {
         .mkString("\nUNION ALL\n")
   }
 
+  /** Oracle for `q_schema_merge_documents`: both inductions AND the
+    * widening replayed — every merged bound is least/greatest of the
+    * two slices' scalar subqueries, merged `required` demands zero
+    * nulls in BOTH slices, and the merged `allowed` set is the UNION
+    * of the slices' values under both cardinality caps.
+    */
+  private val schemaMergeSql: String = {
+    def row(f: String, r: String, v: String, pred: String) =
+      s"SELECT doc_id, '$f' AS field, '$r' AS rule, $v AS value, 'error' AS severity FROM cur WHERE $pred"
+    def present(f: String) =
+      s"(SELECT count($f) FROM a) > 0 AND (SELECT count($f) FROM b) > 0"
+    def required(f: String) = row(f, "required", "CAST(NULL AS VARCHAR)",
+      s"$f IS NULL AND (SELECT count(*) - count($f) FROM a) = 0" +
+        s" AND (SELECT count(*) - count($f) FROM b) = 0")
+    def numeric(f: String) = Seq(
+      required(f),
+      row(f, "min", s"CAST($f AS VARCHAR)",
+        s"$f IS NOT NULL AND ${present(f)} AND " +
+          s"$f < least((SELECT min($f) FROM a), (SELECT min($f) FROM b))"),
+      row(f, "max", s"CAST($f AS VARCHAR)",
+        s"$f IS NOT NULL AND ${present(f)} AND " +
+          s"$f > greatest((SELECT max($f) FROM a), (SELECT max($f) FROM b))"))
+    def stringy(f: String) = Seq(
+      required(f),
+      row(f, "allowed", f,
+        s"$f IS NOT NULL AND ${present(f)}" +
+          s" AND (SELECT count(DISTINCT $f) FROM a) <= 20" +
+          s" AND (SELECT count(DISTINCT $f) FROM b) <= 20" +
+          s" AND $f NOT IN (SELECT $f FROM a WHERE $f IS NOT NULL" +
+          s" UNION SELECT $f FROM b WHERE $f IS NOT NULL)"),
+      row(f, "minlength", f,
+        s"$f IS NOT NULL AND ${present(f)} AND length($f) < " +
+          s"least((SELECT min(length($f)) FROM a), (SELECT min(length($f)) FROM b))"),
+      row(f, "maxlength", f,
+        s"$f IS NOT NULL AND ${present(f)} AND length($f) > " +
+          s"greatest((SELECT max(length($f)) FROM a), (SELECT max(length($f)) FROM b))"))
+    "WITH a AS (SELECT * FROM documents WHERE doc_id % 3 = 0),\n" +
+      "b AS (SELECT * FROM documents WHERE doc_id % 3 = 1),\n" +
+      "cur AS (SELECT * FROM documents WHERE doc_id % 3 = 2)\n" +
+      (numeric("doc_id") ++ numeric("n_chars") ++
+        stringy("text") ++ stringy("lang") ++ stringy("source"))
+        .mkString("\nUNION ALL\n")
+  }
+
   /** Oracle for `q_schema_diff_documents`: re-derive every aspect of
     * BOTH induced schemas (bounds, length bounds, required flags,
     * allowed sets under the ≤20-cardinality presence guard) from the
@@ -872,6 +916,25 @@ object SparkEntry {
         d.where(col("doc_id") % 3 === 0),
         Seq("doc_id", "text", "lang", "source", "n_chars"))
       Validator.violations(d.where(col("doc_id") % 3 =!= 0), schema, Seq("doc_id"))
+    }),
+
+    "q_schema_merge_documents" -> ((s, dir) => {
+      // INCREMENTAL induction (round 5): induce per slice, widen with
+      // Induction.merge (required = both, bounds = envelope, allowed =
+      // union under both caps), validate a third slice against the
+      // merged schema — violations fire only OUTSIDE the widened
+      // two-slice distribution. The oracle re-derives every merged
+      // bound as least/greatest of the two slices' scalar subqueries
+      // and the allowed union as a UNION subquery.
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val flds = Seq("doc_id", "text", "lang", "source", "n_chars")
+      val merged = graft.schema.Induction.merge(
+        graft.schema.Induction.suggestSchema(
+          d.where(col("doc_id") % 3 === 0), flds),
+        graft.schema.Induction.suggestSchema(
+          d.where(col("doc_id") % 3 === 1), flds))
+      Validator.violations(d.where(col("doc_id") % 3 === 2), merged,
+        Seq("doc_id"))
     }),
 
     "q_schema_diff_documents" -> ((s, dir) => {
@@ -1801,6 +1864,7 @@ object SparkEntry {
         |WHERE rk <= 7""".stripMargin,
 
     "q_induced_validate_documents" -> inducedValidateSql,
+    "q_schema_merge_documents" -> schemaMergeSql,
     "q_schema_diff_documents" -> schemaDiffSql,
 
     // Every suggest() formula replayed: single-row stat CTEs over the

@@ -158,6 +158,91 @@ object Induction {
     Schema.of(specs: _*)
   }
 
+  /** WIDEN two schemas into the loosest schema consistent with both —
+    * the monoid that makes induction INCREMENTAL: induce per partition
+    * / per day / per stream batch, then fold, instead of re-profiling
+    * the whole corpus ([[diff]] tells you WHAT changed between two
+    * schemas; merge gives you the schema that accepts BOTH corpora).
+    * The defining law, pinned in InductionSpec:
+    * `violations(A ∪ B, merge(suggestSchema(A), suggestSchema(B)))`
+    * is empty whenever each schema accepts its own slice.
+    *
+    * Per-aspect widening:
+    *   - `required` = both required; `nullable` = either nullable;
+    *     `empty` forbidden only if both forbid it;
+    *   - `min`/`minlength` = the smaller, `max`/`maxlength` = the
+    *     larger; a side without the bound unbounds the result;
+    *   - `allowed` = set UNION when both sides have one, else absent
+    *     (one unbounded side means the union is unbounded);
+    *   - `forbidden` = set INTERSECTION (a value only stays deniable
+    *     if BOTH sides denied it — the other corpus may contain it);
+    *   - `type`/`regex` = kept only when identical (no widening exists
+    *     that both corpora are known to satisfy);
+    *   - `severity` = the LOWER channel (loosest);
+    *   - a field present on ONE side only is widened to optional +
+    *     nullable (the other corpus has no such column — its rows
+    *     surface as null there).
+    *
+    * Declared machinery (dependencies, excludes, contains, combinators,
+    * keysrules/valuesrules/items, normalize, checks, defaults, rename,
+    * per-rule severities) has no corpus-evidence widening — specs
+    * carrying any of it are rejected at construction (E1): merge is
+    * for INDUCED value rules; merge declared schemas by hand.
+    *
+    * Pure driver function over O(fields) specs; associative and
+    * commutative up to field order (left operand's order first), and
+    * idempotent on canonical (sorted-`allowed`) schemas — fold in any
+    * shape, including tree-reduce over thousands of partition schemas.
+    */
+  def merge(a: Schema, b: Schema): Schema = {
+    def requireInduced(side: String, f: String, s: FieldSpec): Unit =
+      require(s.dependencies.isEmpty && s.excludes.isEmpty &&
+        s.contains.isEmpty && s.anyOf.isEmpty && s.allOf.isEmpty &&
+        s.oneOf.isEmpty && s.noneOf.isEmpty && s.keysRules.isEmpty &&
+        s.valuesRules.isEmpty && s.items.isEmpty && s.normalize.isEmpty &&
+        s.checks.isEmpty && s.default.isEmpty && s.defaultSetter.isEmpty &&
+        s.rename.isEmpty && s.ruleSeverity.isEmpty,
+        s"merge widens induced VALUE rules only; $side field '$f' " +
+          "carries declared machinery (dependencies/combinators/" +
+          "normalization/checks/defaults) that has no corpus-evidence " +
+          "widening — merge such schemas by hand")
+    a.fields.foreach { case (f, s) => requireInduced("left", f, s) }
+    b.fields.foreach { case (f, s) => requireInduced("right", f, s) }
+    val bm = b.fields.toMap
+    val am = a.fields.toMap
+    def widenSolo(s: FieldSpec): FieldSpec =
+      s.copy(required = false, nullable = true)
+    def widen(x: FieldSpec, y: FieldSpec): FieldSpec = FieldSpec(
+      dtype = if (x.dtype == y.dtype) x.dtype else None,
+      required = x.required && y.required,
+      nullable = x.nullable || y.nullable,
+      notEmpty = x.notEmpty && y.notEmpty,
+      regex = if (x.regex == y.regex) x.regex else None,
+      allowed = for (xs <- x.allowed; ys <- y.allowed)
+        yield (xs ++ ys).distinct.sorted,
+      forbidden = (x.forbidden, y.forbidden) match {
+        case (Some(xs), Some(ys)) =>
+          val i = xs.toSet.intersect(ys.toSet).toSeq.sorted
+          if (i.isEmpty) None else Some(i)
+        case _ => None
+      },
+      min = for (m1 <- x.min; m2 <- y.min) yield math.min(m1, m2),
+      max = for (m1 <- x.max; m2 <- y.max) yield math.max(m1, m2),
+      minLength = for (l1 <- x.minLength; l2 <- y.minLength)
+        yield math.min(l1, l2),
+      maxLength = for (l1 <- x.maxLength; l2 <- y.maxLength)
+        yield math.max(l1, l2),
+      severity =
+        if (Severity.rank(x.severity) <= Severity.rank(y.severity)) x.severity
+        else y.severity)
+    val merged = a.fields.map { case (f, x) =>
+      f -> bm.get(f).map(widen(x, _)).getOrElse(widenSolo(x))
+    } ++ b.fields.collect {
+      case (f, y) if !am.contains(f) => f -> widenSolo(y)
+    }
+    Schema(merged)
+  }
+
   /** Rule-level schema DRIFT: diff two [[Schema]]s (typically two
     * [[suggestSchema]] runs over consecutive snapshots, or induced vs
     * declared) into a typed report — the validation-engine complement

@@ -202,7 +202,15 @@ object Expectations {
     * O(columns) row (config-bounded, the same class as
     * `Induction.profile`). Suites are GLOBAL — per-group bounds are a
     * rate-table-shaped problem, served by the snapshot store +
-    * [[evaluateRelative]] instead of per-group constants.
+    * [[evaluateRelative]] instead of per-group constants. Exact
+    * count-distinct is the default (same verdict-stability trade as
+    * [[evaluate]]), at the documented cost of an Expand ×columns over
+    * the scan; `approxDistinct = true` profiles with the HLL sketch
+    * instead (no Expand — the 100 TB path), which also DISABLES
+    * uniqueness induction: a sketch cannot certify `distinct == rows`,
+    * and a certificate that might be wrong is worse than none (the
+    * distinct caps it induces are estimates, which a ≤-bound
+    * tolerates; an exact `unique_frac ≥ 1.0` invariant does not).
     *
     * An EMPTY slice throws: inducing gates from no signal is the
     * misconfiguration E1 exists to reject (and the suite it would
@@ -213,7 +221,8 @@ object Expectations {
       df: DataFrame,
       columns: Seq[String],
       tolerance: Double = 0.1,
-      distinctCap: Int = 20): Seq[Expect] = {
+      distinctCap: Int = 20,
+      approxDistinct: Boolean = false): Seq[Expect] = {
     require(columns.nonEmpty, "suggest needs at least one column")
     require(tolerance >= 0d, s"tolerance must be >= 0, got $tolerance")
     require(distinctCap >= 1, s"distinctCap must be >= 1, got $distinctCap")
@@ -229,7 +238,8 @@ object Expectations {
           Seq(
             coalesce(avg(when(col(c).isNull, 1d).otherwise(0d)), lit(0d))
               .as(s"__nf:$c"),
-            countDistinct(col(c)).cast("double").as(s"__d:$c")) ++
+            (if (approxDistinct) approx_count_distinct(col(c))
+             else countDistinct(col(c))).cast("double").as(s"__d:$c")) ++
             (if (isNum(c)) Seq(
               avg(col(c).cast("double")).as(s"__mean:$c"),
               min(col(c).cast("double")).as(s"__min:$c"),
@@ -251,9 +261,15 @@ object Expectations {
         val d = get(s"__d:$c").get
         Seq(Expect("null_frac", c, lo = 0d,
           hi = math.min(1d, nf + tolerance))) ++
-          (if (d == n && nf == 0d) Seq(Expect("unique_frac", c, lo = 1d))
+          (if (!approxDistinct && d == n && nf == 0d)
+            Seq(Expect("unique_frac", c, lo = 1d))
            else Nil) ++
-          (if (d >= 1d && d <= distinctCap) Seq(Expect("distinct", c, hi = d))
+          // sketch-profiled caps get tolerance padding — an HLL
+          // estimate gated against an HLL estimate needs slack where
+          // exact-vs-exact does not
+          (if (d >= 1d && d <= distinctCap)
+            Seq(Expect("distinct", c,
+              hi = if (approxDistinct) d * (1 + tolerance) else d))
            else Nil) ++
           (if (isNum(c))
             (get(s"__mean:$c"), get(s"__min:$c"), get(s"__max:$c")) match {

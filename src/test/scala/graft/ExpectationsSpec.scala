@@ -265,6 +265,18 @@ class ExpectationsSpec extends SparkSpec {
     assert(Expectations.holds(base, suite))
   }
 
+  test("suggest: sketch profiling never certifies uniqueness and pads distinct caps") {
+    val base = Seq((1L, "en"), (2L, "de"), (3L, "fr")).toDF("id", "lang")
+    val suite = Expectations.suggest(base, Seq("id", "lang"),
+      tolerance = 0.25, approxDistinct = true)
+    val kinds = suite.map(e => (e.check, e.column)).toSet
+    assert(!kinds.exists(_._1 == "unique_frac")) // sketch can't certify
+    val cap = suite.find(e => e.check == "distinct" && e.column == "lang").get
+    assert(cap.hi > 3.0 - 1e-9 && cap.hi <= 3.0 * 1.25 + 1e-9) // padded
+    // self-pass still holds when gating with the SAME sketch
+    assert(Expectations.holds(base, suite, approxDistinct = true))
+  }
+
   test("suggest: empty slice and unknown column are rejected at construction") {
     val df = Seq((1L, "a")).toDF("id", "lang")
     assertThrows[IllegalArgumentException] {
@@ -276,6 +288,46 @@ class ExpectationsSpec extends SparkSpec {
     assertThrows[IllegalArgumentException] {
       Expectations.suggest(df, Seq("id"), tolerance = -0.1)
     }
+  }
+
+  test("ExpectJson: suites round-trip as canonical JSON; strict parse") {
+    import graft.verdict.ExpectJson
+    val suite = Seq(
+      Expect("row_count", lo = 100, hi = 200.5),
+      Expect("null_frac", "text", hi = 0.1),
+      Expect("unique_frac", "doc_id", lo = 1.0),
+      Expect("quantile", "n_chars", lo = 50, hi = 400, q = 0.9),
+      Expect("row_count_rel", lo = 0.6)) // relative kinds serialize too
+    val j = ExpectJson.toJson(suite)
+    // toString compare: Expect is a case class holding NaN q slots, and
+    // NaN != NaN breaks structural equality on identical suites
+    assert(ExpectJson.fromJson(j).map(_.toString) === suite.map(_.toString))
+    assert(ExpectJson.toJson(ExpectJson.fromJson(j)) === j) // fixpoint
+    // unbounded sides are omitted, not rendered as pseudo-infinities
+    assert(!j.contains("inf") && !j.contains("Inf"))
+    def err(json: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](ExpectJson.fromJson(json))
+      assert(e.getMessage.contains(frag), s"'${e.getMessage}' !contains '$frag'")
+    }
+    err("""[{"check": "row_count", "low": 1}]""", "unknown key 'low'")
+    err("""[{"column": "x"}]""", "missing required key 'check'")
+    err("""[{"check": "row_count", "lo": "ten"}]""", "lo must be a number")
+    err("""{"check": "row_count"}""", "must be a JSON array")
+    err("""[]""", "at least one check")
+    // Expect's own closed vocabulary still guards parsed suites
+    intercept[IllegalArgumentException](
+      ExpectJson.fromJson("""[{"check": "rowcount"}]"""))
+    intercept[IllegalArgumentException]( // q on a non-quantile check
+      ExpectJson.fromJson("""[{"check": "mean", "column": "x", "q": 0.5}]"""))
+  }
+
+  test("ExpectJson: suggest → serialize → parse → gate is lossless end-to-end") {
+    import graft.verdict.ExpectJson
+    val base = Seq((1L, "en", 10.0), (2L, "de", 20.0)).toDF("id", "lang", "v")
+    val suite = Expectations.suggest(base, Seq("id", "lang", "v"))
+    val shipped = ExpectJson.fromJson(ExpectJson.toJson(suite))
+    assert(shipped.map(_.toString) === suite.map(_.toString))
+    assert(Expectations.holds(base, shipped))
   }
 
   test("relative gates: null group keys align null-safely with their baseline row") {

@@ -134,4 +134,52 @@ class InductionSpec extends SparkSpec {
         r.getAs[String]("change")).toMap
     assert(rows(("lang", "allowed")) === "tightened")
   }
+
+  test("merge: the widened schema accepts the union of the slices it was induced from") {
+    import graft.schema.{FieldSpec, Schema, Severity}
+    val a = docs.where($"doc_id" % 3 === 0)
+    val b = docs.where($"doc_id" % 3 === 1)
+    val merged = Induction.merge(
+      Induction.suggestSchema(a, docFields),
+      Induction.suggestSchema(b, docFields))
+    // the defining law: each slice passes its own induction, so the
+    // union passes the merge
+    assert(Validator.violations(a.union(b), merged, Seq("doc_id")).isEmpty)
+    // widening is visible: the merged allowed set is the union
+    val mLang = merged.fields.toMap.apply("lang")
+    val aLang = Induction.suggestSchema(a, Seq("lang")).fields.head._2
+    val bLang = Induction.suggestSchema(b, Seq("lang")).fields.head._2
+    assert(mLang.allowed.get.toSet ===
+      aLang.allowed.get.toSet ++ bLang.allowed.get.toSet)
+    // idempotent and commutative (up to field order)
+    val s1 = Induction.suggestSchema(a, docFields)
+    assert(Induction.merge(s1, s1) === s1)
+    val ba = Induction.merge(Induction.suggestSchema(b, docFields), s1)
+    assert(Induction.diff(spark,
+      Induction.merge(s1, Induction.suggestSchema(b, docFields)), ba).isEmpty)
+
+    // aspect widening on hand-built induced-shaped specs
+    val m = Induction.merge(
+      Schema.of(
+        "x" -> FieldSpec(required = true, min = Some(0d), max = Some(10d),
+          forbidden = Some(Seq("p", "q")), severity = Severity.Fatal),
+        "only_a" -> FieldSpec(required = true)),
+      Schema.of(
+        "x" -> FieldSpec(required = false, nullable = true, min = Some(-5d),
+          forbidden = Some(Seq("q", "r")), severity = Severity.Warning))
+    ).fields.toMap
+    assert(m("x").min === Some(-5d))
+    assert(m("x").max === None)            // one side unbounded → unbounded
+    assert(!m("x").required && m("x").nullable)
+    assert(m("x").forbidden === Some(Seq("q"))) // deny-list intersection
+    assert(m("x").severity === Severity.Warning) // loosest channel
+    assert(!m("only_a").required && m("only_a").nullable) // solo field widened
+
+    // declared machinery is rejected at construction (E1)
+    assertThrows[IllegalArgumentException] {
+      Induction.merge(
+        Schema.of("x" -> FieldSpec(dependencies = Map("y" -> Nil))),
+        Schema.of("x" -> FieldSpec()))
+    }
+  }
 }
