@@ -499,6 +499,53 @@ object IndexStore {
   // observations persisted — no static bound can express it)
   // -------------------------------------------------------------------
 
+  /** Atomically replace a SMALL text artifact (a SchemaJson document,
+    * an ExpectJson suite) at `path`: stale tmp/aside copies are cleared,
+    * the new text lands at `<path>.tmp`, the live file is swapped aside,
+    * tmp renamed into place, the aside copy dropped — the same rename
+    * discipline as [[appendBloom]]. Crash windows self-heal: [[loadText]]
+    * falls back to the aside copy while live is briefly absent, and the
+    * next save clears whatever a crash stranded. Single-writer, like
+    * every other mutation in this store.
+    */
+  def saveText(spark: SparkSession, path: String, text: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+    val aside = new org.apache.hadoop.fs.Path(path + ".swap-old")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(tmp, false)
+    fs.delete(aside, false)
+    val out = fs.create(tmp, true)
+    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(live)) require(fs.rename(live, aside),
+      s"saveText: could not swap aside $live")
+    require(fs.rename(tmp, live), s"saveText: could not publish $tmp -> $live")
+    fs.delete(aside, false)
+    ()
+  }
+
+  /** Read a [[saveText]] artifact; None when never written. Falls back
+    * to the aside copy during a concurrent swap's brief live-absent
+    * window (readers stay safe; see [[saveText]]).
+    */
+  def loadText(spark: SparkSession, path: String): Option[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def read(p: org.apache.hadoop.fs.Path): Option[String] = {
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) None
+      else {
+        val len = fs.getFileStatus(p).getLen.toInt
+        val buf = new Array[Byte](len)
+        val in = fs.open(p)
+        try in.readFully(0, buf) finally in.close()
+        Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8))
+      }
+    }
+    read(new org.apache.hadoop.fs.Path(path))
+      .orElse(read(new org.apache.hadoop.fs.Path(path + ".swap-old")))
+  }
+
   private def exists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)

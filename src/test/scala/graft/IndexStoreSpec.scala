@@ -227,4 +227,32 @@ class IndexStoreSpec extends SparkSpec {
       .as[(String, Long, Long, Double, Double)].collect().toSet
     assert(storedScores === directScores && storedScores.nonEmpty)
   }
+
+  test("saveText/loadText: swap replaces atomically and both crash windows self-heal") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-text").toString
+    val p = s"$dir/artifact.json"
+    assert(IndexStore.loadText(spark, p) === None)
+    IndexStore.saveText(spark, p, "v1")
+    assert(IndexStore.loadText(spark, p) === Some("v1"))
+    IndexStore.saveText(spark, p, "v2")
+    assert(IndexStore.loadText(spark, p) === Some("v2"))
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash window A: live swapped aside, tmp not yet published —
+    // readers fall back to the aside copy; the next save recovers
+    fs.rename(new org.apache.hadoop.fs.Path(p),
+      new org.apache.hadoop.fs.Path(p + ".swap-old"))
+    assert(IndexStore.loadText(spark, p) === Some("v2"))
+    IndexStore.saveText(spark, p, "v3")
+    assert(IndexStore.loadText(spark, p) === Some("v3"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(p + ".swap-old")))
+    // crash window B: a stranded tmp from a dead writer never shadows
+    // the live copy and is cleared by the next save
+    val out = fs.create(new org.apache.hadoop.fs.Path(p + ".tmp"), true)
+    out.write("garbage".getBytes); out.close()
+    assert(IndexStore.loadText(spark, p) === Some("v3"))
+    IndexStore.saveText(spark, p, "v4")
+    assert(IndexStore.loadText(spark, p) === Some("v4"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(p + ".tmp")))
+  }
 }
