@@ -92,6 +92,13 @@ object SchemaJson {
       case other => fail("<root>", s"schema document must be a JSON " +
         s"object {field: spec}, got ${kind(other)}")
     }
+    // JSON parsers keep duplicate keys; two specs folding onto one
+    // field is exactly the silent-collision class E1 exists to reject
+    val dup = root.map(_._1).groupBy(identity).collect {
+      case (f, fs) if fs.length > 1 => f
+    }
+    require(dup.isEmpty,
+      s"SchemaJson: duplicate field keys: ${dup.toSeq.sorted.mkString(", ")}")
     val normReg = builtinNormalizers ++ normalizers
     Schema(root.map { case (field, jv) =>
       jv match {
