@@ -302,7 +302,8 @@ object SparkEntry {
              else Nil)
         }
     s"""WITH base AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
-       | cur AS (SELECT * FROM documents WHERE doc_id % 2 <> 0),
+       | cur AS (SELECT doc_id, text, lang, source, n_chars + 200 AS n_chars
+       |   FROM documents WHERE doc_id % 2 <> 0),
        | b AS (${stats("base")}),
        | c AS (${stats("cur")})
        |SELECT "check", "column", q, observed, lo, hi,
@@ -860,10 +861,16 @@ object SparkEntry {
       // gates the odd half with it. The oracle re-derives every bound
       // from the base slice and every observation from the current one.
       // tolerance 0.25 is exactly representable in binary — bound
-      // arithmetic is bit-identical in Spark and DuckDB doubles.
+      // arithmetic is bit-identical in Spark and DuckDB doubles. The
+      // current slice carries an injected +200 n_chars shift (the two
+      // parity halves are statistically identical, so without it every
+      // gate passes vacuously): the shift breaks the induced mean and
+      // max bands while row_count / null_frac / uniqueness / distinct
+      // caps keep passing — both verdict outcomes exercised.
       val all = s.read.parquet(s"$dir/documents.parquet")
       val base = all.where(col("doc_id") % 2 === 0)
       val cur = all.where(col("doc_id") % 2 =!= 0)
+        .withColumn("n_chars", col("n_chars") + 200)
       graft.verdict.Expectations.evaluate(cur,
         graft.verdict.Expectations.suggest(base,
           Seq("doc_id", "lang", "source", "n_chars"), tolerance = 0.25))
