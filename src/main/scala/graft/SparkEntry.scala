@@ -380,6 +380,11 @@ object SparkEntry {
         s"$f IS NOT NULL AND ${present(f)}" +
           s" AND (SELECT count(DISTINCT $f) FROM a) <= 20" +
           s" AND (SELECT count(DISTINCT $f) FROM b) <= 20" +
+          // the merged UNION must also stay under the induction cap —
+          // merge drops an over-cap union exactly as suggestSchema
+          // would on the combined corpus
+          s" AND (SELECT count(*) FROM (SELECT $f FROM a WHERE $f IS NOT NULL" +
+          s"   UNION SELECT $f FROM b WHERE $f IS NOT NULL)) <= 20" +
           s" AND $f NOT IN (SELECT $f FROM a WHERE $f IS NOT NULL" +
           s" UNION SELECT $f FROM b WHERE $f IS NOT NULL)"),
       row(f, "minlength", f,

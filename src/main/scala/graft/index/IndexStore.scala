@@ -513,37 +513,46 @@ object IndexStore {
     val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
     val aside = new org.apache.hadoop.fs.Path(path + ".swap-old")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(tmp, false)
-    fs.delete(aside, false)
+    // create(overwrite) clears any stranded tmp; the aside copy is NOT
+    // cleared up front — after a crash between the two renames it is
+    // the ONLY surviving copy, and deleting it before the new live is
+    // published would turn a second crash into total artifact loss.
     val out = fs.create(tmp, true)
     try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (fs.exists(live)) require(fs.rename(live, aside),
-      s"saveText: could not swap aside $live")
+    if (fs.exists(live)) {
+      fs.delete(aside, false) // stale aside is superseded by live
+      require(fs.rename(live, aside), s"saveText: could not swap aside $live")
+    }
     require(fs.rename(tmp, live), s"saveText: could not publish $tmp -> $live")
     fs.delete(aside, false)
     ()
   }
 
-  /** Read a [[saveText]] artifact; None when never written. Falls back
-    * to the aside copy during a concurrent swap's brief live-absent
-    * window (readers stay safe; see [[saveText]]).
+  /** Read a [[saveText]] artifact; None when never written. Tolerates a
+    * CONCURRENT swap: each probe treats a file vanishing between
+    * exists() and open() as absent (the TOCTOU window is real — the
+    * writer renames between those calls), falls back to the aside copy,
+    * and retries live once for the complementary race (reader saw live
+    * absent mid-swap; writer then published and dropped the aside).
     */
   def loadText(spark: SparkSession, path: String): Option[String] = {
     val conf = spark.sparkContext.hadoopConfiguration
     def read(p: org.apache.hadoop.fs.Path): Option[String] = {
       val fs = p.getFileSystem(conf)
-      if (!fs.exists(p)) None
-      else {
+      try {
         val len = fs.getFileStatus(p).getLen.toInt
         val buf = new Array[Byte](len)
         val in = fs.open(p)
         try in.readFully(0, buf) finally in.close()
         Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8))
+      } catch {
+        case _: java.io.FileNotFoundException => None
       }
     }
-    read(new org.apache.hadoop.fs.Path(path))
-      .orElse(read(new org.apache.hadoop.fs.Path(path + ".swap-old")))
+    val live = new org.apache.hadoop.fs.Path(path)
+    val aside = new org.apache.hadoop.fs.Path(path + ".swap-old")
+    read(live).orElse(read(aside)).orElse(read(live))
   }
 
   private def exists(spark: SparkSession, path: String): Boolean = {

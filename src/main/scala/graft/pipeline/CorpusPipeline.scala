@@ -223,12 +223,17 @@ object CorpusPipeline {
     // A run whose funnel drops EVERY row writes only _SUCCESS (no
     // parquet footer to infer from) — that is an empty curated table,
     // not an error: fall back to a typed empty frame (schema from the
-    // funnel's own analysis, no job).
+    // funnel's own analysis, no job). ONLY that condition is caught —
+    // a curated directory that is missing or unreadable while the
+    // manifest says work was done is data loss and must stay loud,
+    // not read back as legitimately empty.
     val curatedSchema = curatePartitioned(docs.limit(0), cfg, partitionCol).schema
     def curatedTable(): DataFrame =
       try spark.read.parquet(s"$outDir/curated")
       catch {
-        case _: org.apache.spark.sql.AnalysisException =>
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage != null &&
+              e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             curatedSchema)

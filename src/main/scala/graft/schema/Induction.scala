@@ -172,8 +172,13 @@ object Induction {
     *     `empty` forbidden only if both forbid it;
     *   - `min`/`minlength` = the smaller, `max`/`maxlength` = the
     *     larger; a side without the bound unbounds the result;
-    *   - `allowed` = set UNION when both sides have one, else absent
-    *     (one unbounded side means the union is unbounded);
+    *   - `allowed` = set UNION when both sides have one AND the union
+    *     stays ≤ `maxAllowed`, else absent (one unbounded side means
+    *     the union is unbounded; and a union past the induction cap is
+    *     dropped exactly as [[suggestSchema]] would have dropped it on
+    *     the combined corpus — otherwise a streaming fold over a
+    *     drifting categorical column grows the list, the JSON artifact,
+    *     and the `isin` expression without bound);
     *   - `forbidden` = set INTERSECTION (a value only stays deniable
     *     if BOTH sides denied it — the other corpus may contain it);
     *   - `type`/`regex` = kept only when identical (no widening exists
@@ -194,7 +199,7 @@ object Induction {
     * idempotent on canonical (sorted-`allowed`) schemas — fold in any
     * shape, including tree-reduce over thousands of partition schemas.
     */
-  def merge(a: Schema, b: Schema): Schema = {
+  def merge(a: Schema, b: Schema, maxAllowed: Int = 20): Schema = {
     def requireInduced(side: String, f: String, s: FieldSpec): Unit =
       require(s.dependencies.isEmpty && s.excludes.isEmpty &&
         s.contains.isEmpty && s.anyOf.isEmpty && s.allOf.isEmpty &&
@@ -218,8 +223,8 @@ object Induction {
       nullable = x.nullable || y.nullable,
       notEmpty = x.notEmpty && y.notEmpty,
       regex = if (x.regex == y.regex) x.regex else None,
-      allowed = for (xs <- x.allowed; ys <- y.allowed)
-        yield (xs ++ ys).distinct.sorted,
+      allowed = (for (xs <- x.allowed; ys <- y.allowed)
+        yield (xs ++ ys).distinct.sorted).filter(_.size <= maxAllowed),
       forbidden = (x.forbidden, y.forbidden) match {
         case (Some(xs), Some(ys)) =>
           val i = xs.toSet.intersect(ys.toSet).toSeq.sorted

@@ -117,10 +117,7 @@ object SchemaJson {
       require(knownKeys.contains(k),
         s"field '$field': unknown key '$k' (known: ${specKeys.mkString(", ")})")
     }
-    require(entries.map(_._1).distinct.length == entries.length,
-      s"field '$field': duplicate keys " +
-        entries.groupBy(_._1).collect { case (k, vs) if vs.length > 1 => k }
-          .mkString(", "))
+    graft.util.JsonLeaf.requireDistinctKeys(s"field '$field'", entries)
     val m = entries.toMap
     def sub(rule: String)(jv: JValue): FieldSpec = jv match {
       // sub-specs are value-only predicates (FieldSpec enforces) and
@@ -280,28 +277,23 @@ object SchemaJson {
   // Leaf helpers — every wrong shape names the field and key.
   // ------------------------------------------------------------------
 
+  // str/num/kind/jnum/fail delegate to graft.util.JsonLeaf — shared
+  // with ExpectJson so the codecs' canonical forms cannot drift apart.
   private def fail(field: String, msg: String): Nothing =
-    throw new IllegalArgumentException(s"SchemaJson: field '$field': $msg")
+    graft.util.JsonLeaf.fail(s"SchemaJson: field '$field'", msg)
 
-  private def kind(jv: JValue): String = jv.getClass.getSimpleName
+  private def kind(jv: JValue): String = graft.util.JsonLeaf.kind(jv)
 
-  private def str(field: String, key: String, jv: JValue): String = jv match {
-    case JString(s) => s
-    case other => fail(field, s"$key must be a string, got ${kind(other)}")
-  }
+  private def str(field: String, key: String, jv: JValue): String =
+    graft.util.JsonLeaf.str(s"SchemaJson: field '$field'", key, jv)
 
   private def bool(field: String, key: String, jv: JValue): Boolean = jv match {
     case JBool(b) => b
     case other => fail(field, s"$key must be a boolean, got ${kind(other)}")
   }
 
-  private def num(field: String, key: String, jv: JValue): Double = jv match {
-    case JInt(i) => i.toDouble
-    case JLong(l) => l.toDouble
-    case JDouble(d) => d
-    case JDecimal(d) => d.toDouble
-    case other => fail(field, s"$key must be a number, got ${kind(other)}")
-  }
+  private def num(field: String, key: String, jv: JValue): Double =
+    graft.util.JsonLeaf.num(s"SchemaJson: field '$field'", key, jv)
 
   private def int(field: String, key: String, jv: JValue): Int = jv match {
     case JInt(i) => i.toInt
@@ -345,11 +337,7 @@ object SchemaJson {
         "JSON-serializable scalar (string, boolean, int, long, double)")
   }
 
-  /** Integral doubles render as JSON integers (canonical form — `100`
-    * not `100.0`); [[num]] parses either back to the same Double.
-    */
-  private def jnum(d: Double): JValue =
-    if (d.isWhole && math.abs(d) < 1e15) JInt(BigInt(d.toLong)) else JDouble(d)
+  private def jnum(d: Double): JValue = graft.util.JsonLeaf.jnum(d)
 
   private def deps(field: String, jv: JValue): Map[String, Seq[String]] =
     jv match {

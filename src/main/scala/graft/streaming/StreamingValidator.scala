@@ -386,6 +386,15 @@ object StreamingValidator {
       approxDistinct: Boolean = true,
       historyKeep: Int = 64
   ): StreamingQuery = {
+    // historyKeep = 1 would break replay idempotence: batch N appends
+    // its snapshot, prune deletes N-1, and a replay of N (crash before
+    // the checkpoint commit) — which gates with its OWN snapshot
+    // excluded — finds an empty store and overwrites N's correct
+    // metrics with first-run all-fail rows. Keeping ≥ 2 guarantees the
+    // predecessor survives every replay window.
+    require(historyKeep >= 2,
+      s"historyKeep must be >= 2 (got $historyKeep): a replayed batch " +
+        "re-gates against its predecessor, which keep-1 pruning deletes")
     import graft.verdict.Expectations.Expect
     val baseChecks = relExpects
       .map(e => (Expect.baseKind(e.check), e.column)).distinct
@@ -462,7 +471,7 @@ object StreamingValidator {
           val stored = graft.index.IndexStore.loadText(spark, schemaPath)
             .map(graft.schema.SchemaJson.fromJson(_))
           val merged = stored
-            .map(graft.schema.Induction.merge(_, batchSchema))
+            .map(graft.schema.Induction.merge(_, batchSchema, maxAllowed))
             .getOrElse(batchSchema)
           graft.schema.Induction
             .diff(spark, stored.getOrElse(Schema(Nil)), merged)

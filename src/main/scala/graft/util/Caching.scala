@@ -20,7 +20,10 @@ import org.apache.spark.storage.StorageLevel
   * index/signature tables out once and reading them back — the scope
   * seam keeps that swap local to the miner.
   */
-final class CacheScope {
+final class CacheScope private[util] (
+    private[util] val isDefault: Boolean) {
+  def this() = this(false)
+
   private val frames = new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
   private val hooks =
     new java.util.concurrent.ConcurrentLinkedQueue[Boolean => Unit]()
@@ -29,6 +32,7 @@ final class CacheScope {
   def cache[T](ds: Dataset[T]): Dataset[T] = {
     ds.persist(StorageLevel.MEMORY_AND_DISK)
     frames.add(ds)
+    CacheScope.touch(this)
     ds
   }
 
@@ -39,7 +43,10 @@ final class CacheScope {
     * here). The hook receives release's `blocking` flag and runs at
     * most once.
     */
-  def onRelease(f: Boolean => Unit): Unit = hooks.add(f)
+  def onRelease(f: Boolean => Unit): Unit = {
+    hooks.add(f)
+    CacheScope.touch(this)
+  }
 
   /** Unpersist every registered frame and run every registered hook.
     * Safe to call repeatedly; the scope is reusable afterwards.
@@ -53,26 +60,31 @@ final class CacheScope {
 }
 
 object CacheScope {
-  // Every default scope ever handed out, so a cleanup pass from ANY
-  // thread can reach scopes confined to pool threads it does not own.
-  // STRONGLY held, deliberately: `Dataset.persist` registers the plan
-  // in Spark SQL's CacheManager, which holds it STRONGLY — GC'ing an
-  // unreachable scope would NOT let ContextCleaner sweep its cached
-  // blocks (the CacheManager entry pins them); it would only discard
-  // the one handle that can still `unpersist` them, turning a
-  // recoverable pin into an unrecoverable leak. The pinning cost of
-  // this set is therefore the cheap side of the trade: entries are
-  // tiny (a released scope is two empty queues) and a dead pool
-  // thread's storage stays reachable for the [[releaseAll]] sweep.
+  // Every default scope with anything REGISTERED, so a cleanup pass
+  // from ANY thread can reach scopes confined to pool threads it does
+  // not own. STRONGLY held, deliberately: `Dataset.persist` registers
+  // the plan in Spark SQL's CacheManager, which holds it STRONGLY —
+  // GC'ing an unreachable scope would NOT let ContextCleaner sweep its
+  // cached blocks (the CacheManager entry pins them); it would only
+  // discard the one handle that can still `unpersist` them, turning a
+  // recoverable pin into an unrecoverable leak. BOUNDED, also
+  // deliberately: [[releaseAll]] deregisters each scope it drains and
+  // [[touch]] re-registers a default scope whenever something new is
+  // cached into it — so the set tracks scopes with live registrations,
+  // not every pool thread that ever existed (unbounded thread churn
+  // would otherwise grow it monotonically).
   private val liveDefaults = java.util.Collections.newSetFromMap(
     new java.util.concurrent.ConcurrentHashMap[CacheScope, java.lang.Boolean]())
 
+  /** Re-register a DEFAULT scope on every registration into it (cheap:
+    * one concurrent-set add). Caller-owned scopes never enter the set —
+    * their lifecycle is the caller's.
+    */
+  private[util] def touch(s: CacheScope): Unit =
+    if (s.isDefault) { liveDefaults.add(s); () }
+
   private val threadShared: ThreadLocal[CacheScope] =
-    ThreadLocal.withInitial { () =>
-      val s = new CacheScope
-      liveDefaults.add(s)
-      s
-    }
+    ThreadLocal.withInitial(() => new CacheScope(isDefault = true))
 
   /** Default scope for callers that don't manage one. THREAD-CONFINED:
     * each thread gets its own default scope, so two concurrent callers
@@ -99,7 +111,17 @@ object CacheScope {
     */
   def releaseAll(blocking: Boolean = false): Unit = {
     val it = liveDefaults.iterator()
-    while (it.hasNext) it.next().release(blocking)
+    while (it.hasNext) {
+      val s = it.next()
+      // Deregister BEFORE draining: a concurrent cache() into this
+      // scope re-adds it via touch(), so nothing registered after the
+      // drain can end up in a scope the next sweep cannot reach.
+      // (Concurrent releaseAll with ACTIVE default-scope jobs is
+      // already documented unsafe — this ordering just keeps the
+      // between-jobs contract airtight.)
+      it.remove()
+      s.release(blocking)
+    }
   }
 
   /** Convenience: run `f` with a fresh scope, releasing on exit. Only

@@ -39,6 +39,7 @@ object ExpectJson {
             s"ExpectJson: $where: unknown key '$k' " +
               "(known: check, column, lo, hi, q)")
         }
+        graft.util.JsonLeaf.requireDistinctKeys(s"ExpectJson: $where", fields)
         val m = fields.toMap
         Expect(
           check = m.get("check").map(str(where, "check", _)).getOrElse(
@@ -69,29 +70,16 @@ object ExpectJson {
     else JsonMethods.compact(JsonMethods.render(doc))
   }
 
+  // Leaf parsing/rendering shared with SchemaJson (graft.util.JsonLeaf)
+  // so the two codecs' canonical forms cannot drift apart. Non-finite
+  // values never reach jnum (omitted above); NaN bounds are impossible
+  // (Expect rejects them via lo <= hi).
   private def fail(where: String, msg: String): Nothing =
-    throw new IllegalArgumentException(s"ExpectJson: $where: $msg")
-
-  private def kind(jv: JValue): String = jv.getClass.getSimpleName
-
-  private def str(where: String, key: String, jv: JValue): String = jv match {
-    case JString(s) => s
-    case other => fail(where, s"$key must be a string, got ${kind(other)}")
-  }
-
-  private def num(where: String, key: String, jv: JValue): Double = jv match {
-    case JInt(i) => i.toDouble
-    case JLong(l) => l.toDouble
-    case JDouble(d) => d
-    case JDecimal(d) => d.toDouble
-    case other => fail(where, s"$key must be a number, got ${kind(other)}")
-  }
-
-  /** Integral doubles render as JSON integers (canonical form); either
-    * shape parses back to the same Double. Non-finite values never
-    * reach here (omitted above); NaN bounds are impossible (Expect
-    * rejects them via lo <= hi).
-    */
-  private def jnum(d: Double): JValue =
-    if (d.isWhole && math.abs(d) < 1e15) JInt(BigInt(d.toLong)) else JDouble(d)
+    graft.util.JsonLeaf.fail(s"ExpectJson: $where", msg)
+  private def kind(jv: JValue): String = graft.util.JsonLeaf.kind(jv)
+  private def str(where: String, key: String, jv: JValue): String =
+    graft.util.JsonLeaf.str(s"ExpectJson: $where", key, jv)
+  private def num(where: String, key: String, jv: JValue): Double =
+    graft.util.JsonLeaf.num(s"ExpectJson: $where", key, jv)
+  private def jnum(d: Double): JValue = graft.util.JsonLeaf.jnum(d)
 }

@@ -310,6 +310,7 @@ class ExpectationsSpec extends SparkSpec {
       assert(e.getMessage.contains(frag), s"'${e.getMessage}' !contains '$frag'")
     }
     err("""[{"check": "row_count", "low": 1}]""", "unknown key 'low'")
+    err("""[{"check": "row_count", "lo": 100, "lo": 1}]""", "duplicate keys")
     err("""[{"column": "x"}]""", "missing required key 'check'")
     err("""[{"check": "row_count", "lo": "ten"}]""", "lo must be a number")
     err("""{"check": "row_count"}""", "must be a JSON array")

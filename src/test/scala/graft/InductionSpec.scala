@@ -181,5 +181,19 @@ class InductionSpec extends SparkSpec {
         Schema.of("x" -> FieldSpec(dependencies = Map("y" -> Nil))),
         Schema.of("x" -> FieldSpec()))
     }
+
+    // an allowed UNION past the induction cap is DROPPED, exactly as
+    // suggestSchema would drop the rule on the combined corpus — the
+    // streaming fold must not grow the list without bound
+    val capped = Induction.merge(
+      Schema.of("t" -> FieldSpec(allowed = Some((1 to 15).map(i => s"a$i")))),
+      Schema.of("t" -> FieldSpec(allowed = Some((1 to 15).map(i => s"b$i")))),
+      maxAllowed = 20).fields.head._2
+    assert(capped.allowed === None)
+    val kept = Induction.merge(
+      Schema.of("t" -> FieldSpec(allowed = Some(Seq("a", "b")))),
+      Schema.of("t" -> FieldSpec(allowed = Some(Seq("b", "c")))),
+      maxAllowed = 20).fields.head._2
+    assert(kept.allowed === Some(Seq("a", "b", "c")))
   }
 }

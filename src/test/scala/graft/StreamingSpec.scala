@@ -390,6 +390,17 @@ class StreamingSpec extends SparkSpec {
     assert(latest.select("snapshot_id").distinct().head().getString(0) === "batch_1")
   }
 
+  test("relative expectations sink rejects historyKeep = 1 (replay needs the predecessor)") {
+    import graft.verdict.Expectations.Expect
+    val anyFrame = spark.range(1).toDF("v")
+    assertThrows[IllegalArgumentException] {
+      StreamingValidator.relativeExpectationsSink(anyFrame,
+        Seq(Expect("row_count_rel", lo = 0.5)), Nil,
+        "/tmp/unused-store", "/tmp/unused-metrics", "/tmp/unused-ck",
+        historyKeep = 1)
+    }
+  }
+
   test("induction sink: per-batch induce + merge folds the schema-so-far; drift rows are the widening") {
     import graft.index.IndexStore
     import graft.schema.{Induction, SchemaJson}
