@@ -352,6 +352,42 @@ object SparkEntry {
         .mkString("\nUNION ALL\n")
   }
 
+  /** Oracle for `q_repairs_documents`: every (rule × candidate) cell's
+    * before/after predicates replayed — baseline fails, fails-after-
+    * candidate, and the repaired/broken deltas, summed over the same
+    * noisy derived column.
+    */
+  private val repairsSql: String = {
+    val allowed = "('de','en','es','fr')"
+    def f0(rule: String, v: String) = rule match {
+      case "regex" => s"($v IS NOT NULL AND NOT regexp_full_match($v, '[a-z]{2}'))"
+      case "allowed" => s"($v IS NOT NULL AND $v NOT IN $allowed)"
+    }
+    val cands = Seq(
+      "lower" -> "lower(v)",
+      "trim" -> "trim(v)",
+      "trim_lower" -> "lower(trim(v))",
+      "trim_upper" -> "upper(trim(v))",
+      "upper" -> "upper(v)")
+    val cells = for {
+      rule <- Seq("regex", "allowed")
+      (name, expr) <- cands
+    } yield {
+      val before = f0(rule, "v")
+      val after = f0(rule, expr)
+      s"""SELECT 'lang2' AS field, '$rule' AS rule, '$name' AS normalizer,
+         | CAST(sum(CASE WHEN $before THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+         | CAST(sum(CASE WHEN $before AND NOT $after THEN 1 ELSE 0 END) AS BIGINT) AS n_repaired,
+         | CAST(sum(CASE WHEN NOT $before AND $after THEN 1 ELSE 0 END) AS BIGINT) AS n_broken
+         |FROM d""".stripMargin
+    }
+    """WITH d AS (SELECT CASE WHEN doc_id % 3 = 0 THEN upper(lang)
+      |                       WHEN doc_id % 3 = 1 THEN ' ' || lang
+      |                       ELSE lang END AS v
+      |           FROM documents)
+      |""".stripMargin + cells.mkString("\nUNION ALL\n")
+  }
+
   /** Oracle for `q_schema_merge_documents`: both inductions AND the
     * widening replayed — every merged bound is least/greatest of the
     * two slices' scalar subqueries, merged `required` demands zero
@@ -928,6 +964,25 @@ object SparkEntry {
         d.where(col("doc_id") % 3 === 0),
         Seq("doc_id", "text", "lang", "source", "n_chars"))
       Validator.violations(d.where(col("doc_id") % 3 =!= 0), schema, Seq("doc_id"))
+    }),
+
+    "q_repairs_documents" -> ((s, dir) => {
+      // REPAIR induction (round 5): a shape-noisy column (uppercased /
+      // space-prefixed variants injected by doc_id residue) against a
+      // lowercase regex + allowed-list; every (rule × builtin
+      // normalizer) cell measures repaired AND broken counts in one
+      // aggregation — trim_lower repairs every violation with zero
+      // breakage, upper repairs nothing and breaks every passing row.
+      // The oracle replays each cell's before/after predicates.
+      val noisy = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("lang2",
+          when(col("doc_id") % 3 === 0, upper(col("lang")))
+            .when(col("doc_id") % 3 === 1, concat(lit(" "), col("lang")))
+            .otherwise(col("lang")))
+      graft.repair.Repair.suggestRepairs(noisy, Schema.of(
+        "lang2" -> FieldSpec(
+          regex = Some("[a-z]{2}"),
+          allowed = Some(Seq("de", "en", "es", "fr")))))
     }),
 
     "q_schema_merge_documents" -> ((s, dir) => {
@@ -1877,6 +1932,7 @@ object SparkEntry {
 
     "q_induced_validate_documents" -> inducedValidateSql,
     "q_schema_merge_documents" -> schemaMergeSql,
+    "q_repairs_documents" -> repairsSql,
     "q_schema_diff_documents" -> schemaDiffSql,
 
     // Every suggest() formula replayed: single-row stat CTEs over the

@@ -150,7 +150,7 @@ object RuleCompiler {
     * predicate embeds its own non-null guard, so a null value fails
     * nothing here (null handling is `required`/`nullable`'s job).
     */
-  private def valueRuleFails(spec: FieldSpec, v: Column): Seq[(String, Column)] = {
+  private[graft] def valueRuleFails(spec: FieldSpec, v: Column): Seq[(String, Column)] = {
     val vStr = v.cast(StringType)
     val nonNull = v.isNotNull
     Seq(

@@ -1,0 +1,65 @@
+package graft
+
+import graft.repair.Repair
+import graft.schema.{FieldSpec, Schema}
+import graft.validate.Validator
+import org.apache.spark.sql.functions._
+
+class RepairSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cellMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map { r =>
+      (r.getAs[String]("rule"), r.getAs[String]("normalizer")) ->
+        (r.getAs[Long]("n_violations"), r.getAs[Long]("n_repaired"),
+          r.getAs[Long]("n_broken"))
+    }.toMap
+
+  test("repair counts match hand-counts; breakage is surfaced, nulls count nowhere") {
+    // 2 clean, 2 uppercase (case-repairable), 1 padded (trim-repairable),
+    // 1 hopeless, 1 null
+    val df = Seq("de", "en", "DE", "FR", " es", "zz", null)
+      .toDF("lang")
+    val schema = Schema.of("lang" -> FieldSpec(
+      regex = Some("[a-z]{2}"),
+      allowed = Some(Seq("de", "en", "es", "fr"))))
+    val out = cellMap(Repair.suggestRepairs(df, schema))
+    // allowed violations: DE, FR, " es", zz (4); regex violations: only
+    // the shape-broken three — zz IS two lowercase letters (3).
+    // trim_lower repairs every shape violation, breaks nothing; the
+    // hopeless zz stays an allowed violation.
+    assert(out(("allowed", "trim_lower")) === ((4L, 3L, 0L)))
+    assert(out(("regex", "trim_lower")) === ((3L, 3L, 0L)))
+    // lower fixes case variants only; trim fixes the padded one only
+    assert(out(("allowed", "lower")) === ((4L, 2L, 0L)))
+    assert(out(("allowed", "trim")) === ((4L, 1L, 0L)))
+    // upper repairs nothing and BREAKS both passing rows
+    assert(out(("allowed", "upper")) === ((4L, 0L, 2L)))
+    // adopting the winning candidate eliminates exactly the repaired
+    // violations when re-validating
+    val adopted = Schema.of("lang" -> FieldSpec(
+      regex = Some("[a-z]{2}"),
+      allowed = Some(Seq("de", "en", "es", "fr")),
+      normalize = Some(c => lower(trim(c)))))
+    assert(Validator.violations(df.withColumn("id", lit(1)), adopted,
+      Seq("id")).count() === 1) // only zz's allowed violation survives
+  }
+
+  test("candidates compose AFTER a declared normalize; misconfig throws") {
+    val df = Seq(" DE ", "de").toDF("lang")
+    val schema = Schema.of("lang" -> FieldSpec(
+      allowed = Some(Seq("de")),
+      normalize = Some(trim(_))))
+    val out = cellMap(Repair.suggestRepairs(df, schema))
+    // baseline already trims: 1 violation ("DE"); lower on TOP repairs it
+    assert(out(("allowed", "lower")) === ((1L, 1L, 0L)))
+    // trim on top of trim changes nothing
+    assert(out(("allowed", "trim")) === ((1L, 0L, 0L)))
+    assertThrows[IllegalArgumentException] {
+      Repair.suggestRepairs(df, Schema.of("lang" -> FieldSpec(required = true)))
+    }
+    assertThrows[IllegalArgumentException] {
+      Repair.suggestRepairs(df, schema, candidates = Map.empty)
+    }
+  }
+}
