@@ -541,11 +541,12 @@ object IndexStore {
     def read(p: org.apache.hadoop.fs.Path): Option[String] = {
       val fs = p.getFileSystem(conf)
       try {
-        val len = fs.getFileStatus(p).getLen.toInt
-        val buf = new Array[Byte](len)
+        // read the OPENED stream to EOF — a stat-then-read by length
+        // would have its own TOCTOU (stat the old file, open the new
+        // one, hand back a silently truncated artifact)
         val in = fs.open(p)
-        try in.readFully(0, buf) finally in.close()
-        Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8))
+        val bytes = try in.readAllBytes() finally in.close()
+        Some(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
       } catch {
         case _: java.io.FileNotFoundException => None
       }

@@ -220,23 +220,28 @@ object CorpusPipeline {
     val t0 = System.currentTimeMillis()
     val pendingParts = Checkpoint.pending(docs, partitionCol, outDir)
     val done = Checkpoint.processed(spark, outDir).count()
-    // A run whose funnel drops EVERY row writes only _SUCCESS (no
-    // parquet footer to infer from) — that is an empty curated table,
-    // not an error: fall back to a typed empty frame (schema from the
-    // funnel's own analysis, no job). ONLY that condition is caught —
-    // a curated directory that is missing or unreadable while the
-    // manifest says work was done is data loss and must stay loud,
-    // not read back as legitimately empty.
+    // Two legitimately-empty read states fall back to a typed empty
+    // frame (schema from the funnel's own analysis, no job):
+    //   - only _SUCCESS in curated/ (a run whose funnel dropped every
+    //     row — no parquet footer to infer from): UNABLE_TO_INFER_SCHEMA;
+    //   - curated/ never written AND the manifest recorded zero done
+    //     partitions (empty input over a fresh outDir): PATH_NOT_FOUND.
+    // A MISSING directory while the manifest says work WAS done is data
+    // loss and stays loud, not read back as legitimately empty.
     val curatedSchema = curatePartitioned(docs.limit(0), cfg, partitionCol).schema
+    def emptyCurated(): DataFrame = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], curatedSchema)
     def curatedTable(): DataFrame =
       try spark.read.parquet(s"$outDir/curated")
       catch {
         case e: org.apache.spark.sql.AnalysisException
             if e.getMessage != null &&
               e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            curatedSchema)
+          emptyCurated()
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage != null &&
+              e.getMessage.contains("PATH_NOT_FOUND") && done == 0L =>
+          emptyCurated()
       }
     if (pendingParts.isEmpty)
       return ResumeReport(runId, Nil, done, curatedTable())

@@ -28,18 +28,25 @@ import org.apache.spark.sql.functions._
   * Semantics: the baseline applies the spec's DECLARED rule semantics
   * (declared `normalize` included); each candidate composes AFTER the
   * declared normalize, so rows report what ADDING the candidate on top
-  * of the existing spec would change. All value rules participate
-  * (`empty`/`type`/`regex`/`allowed`/`forbidden`/`min`/`max`/
-  * `minlength`/`maxlength` — the same compiled predicates validation
-  * runs, via RuleCompiler.valueRuleFails, so repair counts can never
-  * disagree with violation counts). Null values fail no value rule and
-  * so count nowhere, exactly like validation.
+  * of the existing spec would change. The scalar value rules
+  * participate (`empty`/`type`/`regex`/`allowed`/`forbidden`/`min`/
+  * `max`/`minlength`/`maxlength` — the same compiled predicates
+  * validation runs, via RuleCompiler.valueRuleFails, so repair counts
+  * can never disagree with violation counts; the array-typed
+  * `contains` rule is excluded — string normalizers do not apply to
+  * containers). Null values fail no value rule and so count nowhere,
+  * exactly like validation.
   *
-  * Scale: ONE global aggregation — O(fields × rules × candidates)
-  * codegen'd counters over a single scan, zero shuffle (partial + final
-  * aggregate), output O(cells) rows. Top-level fields only (repairs
-  * target document columns; struct surgery is normalization's job
-  * after adoption).
+  * Domain: TOP-LEVEL STRING columns — normalizers are string
+  * functions, so non-string fields are documented out of scope and
+  * simply induce no rows; a schema field the frame LACKS, or a dotted
+  * path, is a misconfiguration and fails at construction (E1 — the
+  * same typo validation would fail loudly on).
+  *
+  * Scale: ONE global aggregation — O(fields × rules × (candidates+1))
+  * codegen'd counters over a single scan (baseline violation counters
+  * are shared across candidates, not recomputed per cell), zero
+  * shuffle (partial + final aggregate), output O(cells) rows.
   */
 object Repair {
 
@@ -50,37 +57,57 @@ object Repair {
         SchemaJson.builtinNormalizers): DataFrame = {
     require(candidates.nonEmpty, "suggestRepairs needs at least one candidate")
     val cands = candidates.toSeq.sortBy(_._1)
-    val frameCols = df.columns.toSet
-    // (field, rule, candidateName, failsBefore, failsAfter)
-    val cells: Seq[(String, String, String, Column, Column)] =
-      schema.fields
-        .filter { case (f, _) => !f.contains('.') && frameCols.contains(f) }
-        .flatMap { case (f, spec) =>
-          val v0 = spec.normalize.map(_(col(f))).getOrElse(col(f))
-          val before = RuleCompiler.valueRuleFails(spec, v0)
-          cands.flatMap { case (name, fn) =>
-            val after = RuleCompiler.valueRuleFails(spec, fn(v0)).toMap
-            before.map { case (rule, fails0) =>
-              (f, rule, name, fails0, after(rule))
-            }
+    val frameTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    schema.fields.foreach { case (f, _) =>
+      require(!f.contains('.'),
+        s"suggestRepairs targets top-level columns; '$f' is a dotted path")
+      require(frameTypes.contains(f),
+        s"schema field '$f' is not a column of the frame " +
+          s"(have: ${df.columns.mkString(", ")})")
+    }
+    val stringFields = schema.fields.filter { case (f, _) =>
+      frameTypes(f) == org.apache.spark.sql.types.StringType
+    }
+    // Per (field, rule): the shared baseline predicate; per (field,
+    // rule, candidate): the after-candidate predicate. `contains` is
+    // array-typed — no string normalizer applies.
+    val base: Seq[(String, String, Column)] = stringFields.flatMap {
+      case (f, spec) =>
+        val v0 = spec.normalize.map(_(col(f))).getOrElse(col(f))
+        RuleCompiler.valueRuleFails(spec, v0).collect {
+          case (rule, fails0) if rule != "contains" => (f, rule, fails0)
+        }
+    }
+    require(base.nonEmpty,
+      "schema declares no scalar value rules on string columns " +
+        "— nothing a normalizer could repair")
+    val baseIdx = base.zipWithIndex.map { case ((f, r, _), i) => (f, r) -> i }.toMap
+    val cells: Seq[(String, String, String, Int, Column, Column)] =
+      stringFields.flatMap { case (f, spec) =>
+        val v0 = spec.normalize.map(_(col(f))).getOrElse(col(f))
+        cands.flatMap { case (name, fn) =>
+          val after = RuleCompiler.valueRuleFails(spec, fn(v0)).toMap
+          base.collect { case (`f`, rule, fails0) =>
+            (f, rule, name, baseIdx((f, rule)), fails0, after(rule))
           }
         }
-    require(cells.nonEmpty,
-      "schema declares no value rules on top-level columns of this frame " +
-        "— nothing a normalizer could repair")
-    val aggs = cells.zipWithIndex.flatMap { case ((_, _, _, f0, f1), i) =>
-      Seq(
-        sum(when(f0, 1L).otherwise(0L)).as(s"__v$i"),
-        sum(when(f0 && !f1, 1L).otherwise(0L)).as(s"__r$i"),
-        sum(when(!f0 && f1, 1L).otherwise(0L)).as(s"__b$i"))
-    }
+      }
+    val aggs =
+      base.zipWithIndex.map { case ((_, _, f0), i) =>
+        sum(when(f0, 1L).otherwise(0L)).as(s"__v$i")
+      } ++
+        cells.zipWithIndex.flatMap { case ((_, _, _, _, f0, f1), i) =>
+          Seq(
+            sum(when(f0 && !f1, 1L).otherwise(0L)).as(s"__r$i"),
+            sum(when(!f0 && f1, 1L).otherwise(0L)).as(s"__b$i"))
+        }
     val agged = df.agg(aggs.head, aggs.tail: _*)
-    val rows = cells.zipWithIndex.map { case ((f, r, n, _, _), i) =>
+    val rows = cells.zipWithIndex.map { case ((f, r, n, vi, _, _), i) =>
       struct(
         lit(f).as("field"),
         lit(r).as("rule"),
         lit(n).as("normalizer"),
-        coalesce(col(s"__v$i"), lit(0L)).as("n_violations"),
+        coalesce(col(s"__v$vi"), lit(0L)).as("n_violations"),
         coalesce(col(s"__r$i"), lit(0L)).as("n_repaired"),
         coalesce(col(s"__b$i"), lit(0L)).as("n_broken"))
     }

@@ -200,7 +200,7 @@ object Induction {
     * shape, including tree-reduce over thousands of partition schemas.
     */
   def merge(a: Schema, b: Schema, maxAllowed: Int = 20): Schema = {
-    def requireInduced(side: String, f: String, s: FieldSpec): Unit =
+    def requireInduced(side: String, f: String, s: FieldSpec): Unit = {
       require(s.dependencies.isEmpty && s.excludes.isEmpty &&
         s.contains.isEmpty && s.anyOf.isEmpty && s.allOf.isEmpty &&
         s.oneOf.isEmpty && s.noneOf.isEmpty && s.keysRules.isEmpty &&
@@ -211,6 +211,14 @@ object Induction {
           "carries declared machinery (dependencies/combinators/" +
           "normalization/checks/defaults) that has no corpus-evidence " +
           "widening — merge such schemas by hand")
+      // An authored over-cap allowed list must not be SILENTLY dropped
+      // by the union cap (E1 — reject loudly; induced schemas can never
+      // carry one, suggestSchema's own cap guarantees it).
+      s.allowed.foreach(vs => require(vs.size <= maxAllowed,
+        s"$side field '$f' carries an allowed set of ${vs.size} values, " +
+          s"over merge's maxAllowed = $maxAllowed — raise maxAllowed or " +
+          "merge such schemas by hand"))
+    }
     a.fields.foreach { case (f, s) => requireInduced("left", f, s) }
     b.fields.foreach { case (f, s) => requireInduced("right", f, s) }
     val bm = b.fields.toMap

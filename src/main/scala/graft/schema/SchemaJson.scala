@@ -94,11 +94,7 @@ object SchemaJson {
     }
     // JSON parsers keep duplicate keys; two specs folding onto one
     // field is exactly the silent-collision class E1 exists to reject
-    val dup = root.map(_._1).groupBy(identity).collect {
-      case (f, fs) if fs.length > 1 => f
-    }
-    require(dup.isEmpty,
-      s"SchemaJson: duplicate field keys: ${dup.toSeq.sorted.mkString(", ")}")
+    graft.util.JsonLeaf.requireDistinctKeys("SchemaJson", root)
     val normReg = builtinNormalizers ++ normalizers
     Schema(root.map { case (field, jv) =>
       jv match {

@@ -195,5 +195,14 @@ class InductionSpec extends SparkSpec {
       Schema.of("t" -> FieldSpec(allowed = Some(Seq("b", "c")))),
       maxAllowed = 20).fields.head._2
     assert(kept.allowed === Some(Seq("a", "b", "c")))
+    // an AUTHORED over-cap allowed list is rejected loudly, never
+    // silently dropped by the union cap (induced schemas can't carry
+    // one — suggestSchema's own cap guarantees it)
+    assertThrows[IllegalArgumentException] {
+      Induction.merge(
+        Schema.of("t" -> FieldSpec(allowed = Some((1 to 30).map(_.toString)))),
+        Schema.of("t" -> FieldSpec()),
+        maxAllowed = 20)
+    }
   }
 }

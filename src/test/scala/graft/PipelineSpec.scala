@@ -87,4 +87,10 @@ class PipelineSpec extends SparkSpec {
     assert(key(resumed.curated.where($"lang" === "en")) ===
       key(full.curated.where($"lang" === "en")))
   }
+
+  test("curateResumable: empty input over a fresh outDir is an empty report, not a crash") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-curate-empty").toString
+    val r = CorpusPipeline.curateResumable(docs.limit(0), cfg, "lang", s"$dir/out")
+    assert(r.pending.isEmpty && r.skipped === 0L && r.curated.isEmpty)
+  }
 }

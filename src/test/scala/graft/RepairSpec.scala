@@ -61,5 +61,31 @@ class RepairSpec extends SparkSpec {
     assertThrows[IllegalArgumentException] {
       Repair.suggestRepairs(df, schema, candidates = Map.empty)
     }
+    // a typo'd field is a loud misconfiguration, never a silent skip
+    assertThrows[IllegalArgumentException] {
+      Repair.suggestRepairs(df, Schema.of(
+        "lang" -> FieldSpec(allowed = Some(Seq("de"))),
+        "lagn" -> FieldSpec(allowed = Some(Seq("de")))))
+    }
+    assertThrows[IllegalArgumentException] {
+      Repair.suggestRepairs(df, Schema.of(
+        "meta.lang" -> FieldSpec(allowed = Some(Seq("de")))))
+    }
+  }
+
+  test("non-string columns and array contains rules are out of the repair domain") {
+    val df = Seq((1L, Seq("a", "b"), "de")).toDF("n", "tags", "lang")
+    // contains is array-typed — its cells are excluded, not crashed on;
+    // numeric fields induce no rows (normalizers are string functions)
+    val out = Repair.suggestRepairs(df, Schema.of(
+      "n" -> FieldSpec(min = Some(0d)),
+      "tags" -> FieldSpec(contains = Some(Seq("a")), minLength = Some(1)),
+      "lang" -> FieldSpec(allowed = Some(Seq("de")))))
+    val rules = out.select("field", "rule").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!rules.exists(_._2 == "contains"))
+    assert(!rules.exists(_._1 == "n"))
+    assert(!rules.exists(_._1 == "tags")) // array column: not a string field
+    assert(rules.contains(("lang", "allowed")))
   }
 }

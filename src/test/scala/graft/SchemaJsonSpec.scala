@@ -108,7 +108,7 @@ class SchemaJsonSpec extends SparkSpec {
     err("""{"a": [1, 2]}""", "spec must be a JSON object")
     err("""[1]""", "schema document must be a JSON object")
     err("""{"a": {"anyof": {"min": 1}}}""", "anyof must be an array")
-    err("""{"a": {"min": 1}, "a": {"max": 2}}""", "duplicate field keys")
+    err("""{"a": {"min": 1}, "a": {"max": 2}}""", "duplicate keys")
     err("""{"a": {"min": 1, "min": 2}}""", "duplicate keys")
     // severity validated by FieldSpec's closed vocabulary (E1)
     intercept[IllegalArgumentException](
