@@ -195,6 +195,17 @@ class InductionSpec extends SparkSpec {
       Schema.of("t" -> FieldSpec(allowed = Some(Seq("b", "c")))),
       maxAllowed = 20).fields.head._2
     assert(kept.allowed === Some(Seq("a", "b", "c")))
+    // fold-shape independence ACROSS the cap: the union exceeds the
+    // cap in one intermediate but not the other — both shapes must
+    // still agree (an over-cap total implies an over-cap intermediate
+    // in every shape, so the drop is shape-independent)
+    val sa = Schema.of("t" -> FieldSpec(allowed = Some((1 to 12).map(i => f"a$i%02d"))))
+    val sb = Schema.of("t" -> FieldSpec(allowed = Some((1 to 12).map(i => f"b$i%02d"))))
+    val sc = Schema.of("t" -> FieldSpec(allowed = Some(Seq("a01"))))
+    val left = Induction.merge(Induction.merge(sa, sb), sc).fields.head._2
+    val right = Induction.merge(sa, Induction.merge(sb, sc)).fields.head._2
+    assert(left.allowed === None && right.allowed === None)
+
     // an AUTHORED over-cap allowed list is rejected loudly, never
     // silently dropped by the union cap (induced schemas can't carry
     // one — suggestSchema's own cap guarantees it)
