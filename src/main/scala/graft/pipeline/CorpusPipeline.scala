@@ -240,7 +240,11 @@ object CorpusPipeline {
           emptyCurated()
         case e: org.apache.spark.sql.AnalysisException
             if e.getMessage != null &&
-              e.getMessage.contains("PATH_NOT_FOUND") && done == 0L =>
+              e.getMessage.contains("PATH_NOT_FOUND") &&
+              // re-derived at READ time — the pre-run `done` count is
+              // stale once this run commits partitions, and a stale 0
+              // would mask post-commit loss of the curated directory
+              Checkpoint.processed(spark, outDir).isEmpty =>
           emptyCurated()
       }
     if (pendingParts.isEmpty)

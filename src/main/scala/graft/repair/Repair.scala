@@ -82,12 +82,14 @@ object Repair {
       "schema declares no scalar value rules on string columns " +
         "— nothing a normalizer could repair")
     val baseIdx = base.zipWithIndex.map { case ((f, r, _), i) => (f, r) -> i }.toMap
+    val baseByField = base.groupBy(_._1)
     val cells: Seq[(String, String, String, Int, Column, Column)] =
       stringFields.flatMap { case (f, spec) =>
         val v0 = spec.normalize.map(_(col(f))).getOrElse(col(f))
+        val fieldBase = baseByField.getOrElse(f, Nil)
         cands.flatMap { case (name, fn) =>
           val after = RuleCompiler.valueRuleFails(spec, fn(v0)).toMap
-          base.collect { case (`f`, rule, fails0) =>
+          fieldBase.map { case (_, rule, fails0) =>
             (f, rule, name, baseIdx((f, rule)), fails0, after(rule))
           }
         }

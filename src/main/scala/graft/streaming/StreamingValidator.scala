@@ -468,8 +468,18 @@ object StreamingValidator {
         if (!batch.isEmpty) {
           val batchSchema =
             graft.schema.Induction.suggestSchema(batch, fields, maxAllowed)
+          // A stored artifact induced under a LARGER cap (maxAllowed
+          // lowered between runs) may carry over-cap allowed sets that
+          // merge rejects loudly — for the fold that would poison every
+          // batch. Re-capping is the SINK's decision (widening away an
+          // induced allowed set is exactly induced semantics under the
+          // new cap); merge keeps its loud guard for direct callers.
           val stored = graft.index.IndexStore.loadText(spark, schemaPath)
             .map(graft.schema.SchemaJson.fromJson(_))
+            .map(s => graft.schema.Schema(s.fields.map { case (f, sp) =>
+              f -> (if (sp.allowed.exists(_.size > maxAllowed))
+                sp.copy(allowed = None) else sp)
+            }))
           val merged = stored
             .map(graft.schema.Induction.merge(_, batchSchema, maxAllowed))
             .getOrElse(batchSchema)

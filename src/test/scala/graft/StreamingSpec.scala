@@ -452,5 +452,17 @@ class StreamingSpec extends SparkSpec {
     IndexStore.saveText(spark, schemaPath, SchemaJson.toJson(s1))
     assert(SchemaJson.fromJson(IndexStore.loadText(spark, schemaPath).get)
       .fieldNames === s1.fieldNames)
+
+    // cap lowered between runs: a stored schema whose allowed set is
+    // over the NEW cap must be re-capped by the sink (allowed widened
+    // away), not poison every batch with merge's loud guard
+    val ck2 = Files.createTempDirectory("graft-stream-ind-ck2").toString
+    val drift2 = Files.createTempDirectory("graft-stream-ind-d2").toString + "/drift"
+    val stream2 = spark.readStream.schema(docs.schema).parquet(src)
+    val q2 = StreamingValidator.inductionSink(stream2, fields, schemaPath,
+      drift2, ck2, trigger = Trigger.AvailableNow(), maxAllowed = 2)
+    q2.awaitTermination(60000)
+    val recapped = SchemaJson.fromJson(IndexStore.loadText(spark, schemaPath).get)
+    assert(recapped.fields.toMap.apply("lang").allowed === None)
   }
 }
