@@ -357,7 +357,7 @@ object SparkEntry {
     * candidate, and the repaired/broken deltas, summed over the same
     * noisy derived column.
     */
-  private val repairsSql: String = {
+  private def repairsSqlFor(grouped: Boolean): String = {
     val allowed = "('de','en','es','fr')"
     def f0(rule: String, v: String) = rule match {
       case "regex" => s"($v IS NOT NULL AND NOT regexp_full_match($v, '[a-z]{2}'))"
@@ -369,24 +369,28 @@ object SparkEntry {
       "trim_lower" -> "lower(trim(v))",
       "trim_upper" -> "upper(trim(v))",
       "upper" -> "upper(v)")
+    val (groupSel, groupBy) =
+      if (grouped) ("lang, ", " GROUP BY lang") else ("", "")
     val cells = for {
       rule <- Seq("regex", "allowed")
       (name, expr) <- cands
     } yield {
       val before = f0(rule, "v")
       val after = f0(rule, expr)
-      s"""SELECT 'lang2' AS field, '$rule' AS rule, '$name' AS normalizer,
+      s"""SELECT $groupSel'lang2' AS field, '$rule' AS rule, '$name' AS normalizer,
          | CAST(sum(CASE WHEN $before THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
          | CAST(sum(CASE WHEN $before AND NOT $after THEN 1 ELSE 0 END) AS BIGINT) AS n_repaired,
          | CAST(sum(CASE WHEN NOT $before AND $after THEN 1 ELSE 0 END) AS BIGINT) AS n_broken
-         |FROM d""".stripMargin
+         |FROM d$groupBy""".stripMargin
     }
-    """WITH d AS (SELECT CASE WHEN doc_id % 3 = 0 THEN upper(lang)
+    """WITH d AS (SELECT lang, CASE WHEN doc_id % 3 = 0 THEN upper(lang)
       |                       WHEN doc_id % 3 = 1 THEN ' ' || lang
       |                       ELSE lang END AS v
       |           FROM documents)
       |""".stripMargin + cells.mkString("\nUNION ALL\n")
   }
+
+  private val repairsSql: String = repairsSqlFor(grouped = false)
 
   /** Oracle for `q_schema_merge_documents`: both inductions AND the
     * widening replayed — every merged bound is least/greatest of the
@@ -983,6 +987,23 @@ object SparkEntry {
         "lang2" -> FieldSpec(
           regex = Some("[a-z]{2}"),
           allowed = Some(Seq("de", "en", "es", "fr")))))
+    }),
+
+    "q_repairs_grouped_documents" -> ((s, dir) => {
+      // Per-group repair induction: the same cells keyed by the
+      // ORIGINAL lang — which normalizer fixes which slice (the noise
+      // is doc_id-residue-injected, so every lang group carries all
+      // three shape classes). Same single aggregation, grouped.
+      val noisy = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("lang2",
+          when(col("doc_id") % 3 === 0, upper(col("lang")))
+            .when(col("doc_id") % 3 === 1, concat(lit(" "), col("lang")))
+            .otherwise(col("lang")))
+      graft.repair.Repair.suggestRepairs(noisy, Schema.of(
+        "lang2" -> FieldSpec(
+          regex = Some("[a-z]{2}"),
+          allowed = Some(Seq("de", "en", "es", "fr")))),
+        groupCols = Seq("lang"))
     }),
 
     "q_schema_merge_documents" -> ((s, dir) => {
@@ -1933,6 +1954,7 @@ object SparkEntry {
     "q_induced_validate_documents" -> inducedValidateSql,
     "q_schema_merge_documents" -> schemaMergeSql,
     "q_repairs_documents" -> repairsSql,
+    "q_repairs_grouped_documents" -> repairsSqlFor(grouped = true),
     "q_schema_diff_documents" -> schemaDiffSql,
 
     // Every suggest() formula replayed: single-row stat CTEs over the

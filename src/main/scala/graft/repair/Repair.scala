@@ -54,7 +54,8 @@ object Repair {
       df: DataFrame,
       schema: Schema,
       candidates: Map[String, Column => Column] =
-        SchemaJson.builtinNormalizers): DataFrame = {
+        SchemaJson.builtinNormalizers,
+      groupCols: Seq[String] = Nil): DataFrame = {
     require(candidates.nonEmpty, "suggestRepairs needs at least one candidate")
     val cands = candidates.toSeq.sortBy(_._1)
     val frameTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
@@ -103,7 +104,11 @@ object Repair {
             sum(when(f0 && !f1, 1L).otherwise(0L)).as(s"__r$i"),
             sum(when(!f0 && f1, 1L).otherwise(0L)).as(s"__b$i"))
         }
-    val agged = df.agg(aggs.head, aggs.tail: _*)
+    // With groupCols, one repair report per group — "which normalizer
+    // fixes which source/lang slice" (same single aggregation, keyed).
+    val agged =
+      if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
     val rows = cells.zipWithIndex.map { case ((f, r, n, vi, _, _), i) =>
       struct(
         lit(f).as("field"),
@@ -113,6 +118,7 @@ object Repair {
         coalesce(col(s"__r$i"), lit(0L)).as("n_repaired"),
         coalesce(col(s"__b$i"), lit(0L)).as("n_broken"))
     }
-    agged.select(explode(array(rows: _*)).as("e")).select(col("e.*"))
+    agged.select(groupCols.map(col) :+ explode(array(rows: _*)).as("e"): _*)
+      .select(groupCols.map(col) :+ col("e.*"): _*)
   }
 }

@@ -66,6 +66,42 @@ object CodecProps extends Properties("graft.codecs") {
     specs <- Gen.listOfN(names.size, genInducedSpec)
   } yield Schema(names.zip(specs))
 
+  /** Value-only sub-spec (what combinators/items/keysrules may carry). */
+  private val genValueOnly: Gen[FieldSpec] = for {
+    lo <- Gen.choose(-50d, 50d)
+    hasMin <- Gen.oneOf(true, false)
+    maxLen <- Gen.option(Gen.choose(1, 30))
+    regex <- Gen.option(Gen.oneOf("[a-z]+", "[0-9]+"))
+    allowed <- Gen.option(Gen.nonEmptyListOf(Gen.oneOf("p", "q")).map(_.distinct))
+  } yield FieldSpec(
+    min = if (hasMin) Some(lo) else None,
+    maxLength = maxLen, regex = regex, allowed = allowed)
+
+  /** Specs with NESTED machinery — combinators, positional items,
+    * map rules, dependencies in both shapes, contains literals — the
+    * recursive half of the codec.
+    */
+  private val genNestedSpec: Gen[FieldSpec] = for {
+    base <- genInducedSpec
+    anyOf <- Gen.listOf(genValueOnly).map(_.take(3))
+    oneOf <- Gen.listOf(genValueOnly).map(_.take(2))
+    items <- Gen.listOf(genValueOnly).map(_.take(3))
+    keys <- Gen.option(genValueOnly)
+    values <- Gen.option(genValueOnly)
+    deps <- Gen.mapOf(Gen.zip(genName,
+      Gen.listOf(Gen.oneOf("1", "2")))).map(_.take(2))
+    contains <- Gen.option(Gen.nonEmptyListOf(
+      Gen.oneOf[Any]("s", 7L, 1.5d, true)).map(_.take(3)))
+  } yield base.copy(
+    anyOf = anyOf, oneOf = oneOf, items = items,
+    keysRules = keys, valuesRules = values,
+    dependencies = deps, contains = contains)
+
+  private val genNestedSchema: Gen[Schema] = for {
+    names <- Gen.nonEmptyListOf(genName).map(_.distinct.take(4))
+    specs <- Gen.listOfN(names.size, genNestedSpec)
+  } yield Schema(names.zip(specs))
+
   private val genExpect: Gen[Expect] = for {
     kind <- Gen.oneOf(Expect.kinds.toSeq ++ Expect.relKinds.toSeq)
     columnName <- genName
@@ -87,6 +123,12 @@ object CodecProps extends Properties("graft.codecs") {
       val parsed = SchemaJson.fromJson(j)
       SchemaJson.toJson(parsed) == j &&
         parsed.fieldNames == s.fieldNames
+    }
+
+  property("SchemaJson: fixpoint holds through nested combinators/items/map rules") =
+    forAll(genNestedSchema) { s =>
+      val j = SchemaJson.toJson(s)
+      SchemaJson.toJson(SchemaJson.fromJson(j)) == j
     }
 
   property("ExpectJson: toJson is a fixpoint under fromJson") =

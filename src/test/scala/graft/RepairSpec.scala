@@ -73,6 +73,22 @@ class RepairSpec extends SparkSpec {
     }
   }
 
+  test("grouped repairs equal per-group filters of the corpus") {
+    val df = Seq(("s1", "de"), ("s1", "DE"), ("s2", "de"), ("s2", " de"),
+      ("s2", "zz")).toDF("src", "lang")
+    val schema = Schema.of("lang" -> FieldSpec(allowed = Some(Seq("de"))))
+    val grouped = Repair.suggestRepairs(df, schema, groupCols = Seq("src"))
+      .collect().map { r =>
+        (r.getAs[String]("src"), r.getAs[String]("normalizer")) ->
+          (r.getAs[Long]("n_violations"), r.getAs[Long]("n_repaired"))
+      }.toMap
+    // per-group counts equal running the global report on each slice
+    assert(grouped(("s1", "lower")) === ((1L, 1L)))   // DE → de
+    assert(grouped(("s2", "lower")) === ((2L, 0L)))   // " de", zz: not case
+    assert(grouped(("s2", "trim")) === ((2L, 1L)))    // " de" → de
+    assert(grouped(("s1", "trim")) === ((1L, 0L)))
+  }
+
   test("non-string columns and array contains rules are out of the repair domain") {
     val df = Seq((1L, Seq("a", "b"), "de")).toDF("n", "tags", "lang")
     // contains is array-typed — its cells are excluded, not crashed on;
